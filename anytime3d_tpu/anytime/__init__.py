@@ -1,0 +1,23 @@
+"""Anytime engine: masked-latent evaluation, prior correction, and recursive
+Gaussian latent fusion (the mapping backend). Reference mechanism:
+src/module/nolbo.py:161-259 (getEval + correction), generalized per
+BASELINE.json to a per-observation information-filter update.
+"""
+
+from anytime3d_tpu.anytime.engine import (
+    anytime_eval,
+    classify_by_prior,
+    correct_latent,
+    GaussianBelief,
+    fuse_observation,
+    fuse_sequence,
+)
+
+__all__ = [
+    "anytime_eval",
+    "classify_by_prior",
+    "correct_latent",
+    "GaussianBelief",
+    "fuse_observation",
+    "fuse_sequence",
+]

@@ -1,0 +1,219 @@
+"""Named model configs — one per reference experiment (SURVEY.md §2.3 table).
+
+Each factory returns an ``MMVAEConfig`` matching the config dict of the
+corresponding reference train script (file:line cited per factory). The
+reference encodes these as seven copy-pasted classes × per-script dicts; here
+it is one model and a table.
+"""
+
+from __future__ import annotations
+
+from anytime3d_tpu.models.mmvae import MMVAEConfig
+from anytime3d_tpu.nn.autoencoder3d import Decoder3DConfig, Encoder3DConfig
+from anytime3d_tpu.nn.heads import Head2DConfig
+from anytime3d_tpu.nn.priornet import PriorNetConfig
+
+
+def _decoder64(input_dim: int) -> Decoder3DConfig:
+    """The shared 64³ voxel decoder used by every reference model
+    (autoencoder3D.py:15-24; filters [512,256,128,64,1], strides [1,2,2,2,2])."""
+    return Decoder3DConfig(
+        input_dim=input_dim,
+        output_shape=(64, 64, 64, 1),
+        filter_nums=(512, 256, 128, 64, 1),
+        filter_sizes=(4, 4, 4, 4, 4),
+        strides=(1, 2, 2, 2, 2),
+        act="elu",
+        final_act="sigmoid",
+    )
+
+
+def _encoder3d(output_dim: int) -> Encoder3DConfig:
+    """The shared 64³ voxel encoder (train_modelnet_category*.py:113-120)."""
+    return Encoder3DConfig(
+        output_dim=output_dim,
+        filter_nums=(64, 128, 256, 512),
+        filter_sizes=(4, 4, 4, 4, 4),
+        strides=(2, 2, 2, 2, 1),
+        final_pool="average",
+        act="elu",
+        final_act="none",
+    )
+
+
+# --------------------------------------------------------------------------
+# ModelNet voxel->voxel family (40 categories, z=64)
+# --------------------------------------------------------------------------
+
+def modelnet_nolbo(z_dim: int = 64, category_dim: int = 40) -> MMVAEConfig:
+    """NOLBO with class prior — nolboSingleObject_modelnet_category_only
+    (nolbo.py:1594-1787; config train_modelnet_category.py:107-139)."""
+    return MMVAEConfig(
+        z_category_dim=z_dim,
+        z_inst_dim=0,
+        category_dim=category_dim,
+        encoder="voxel",
+        encoder3d=_encoder3d(2 * z_dim),
+        decoder=_decoder64(z_dim),
+        prior_category=PriorNetConfig(
+            input_dim=category_dim, unit_nums=(32, z_dim), const_log_var=0.0
+        ),
+        variational=True,
+    )
+
+
+def modelnet_vae(z_dim: int = 64, latent_dropout: bool = False) -> MMVAEConfig:
+    """Standard-normal-prior VAE — nolboSingleObject_modelnet_category_VAE
+    (nolbo.py:1387-1592; config train_modelnet_category_VAE.py:109-131)."""
+    return MMVAEConfig(
+        z_category_dim=z_dim,
+        z_inst_dim=0,
+        encoder="voxel",
+        encoder3d=_encoder3d(2 * z_dim),
+        decoder=_decoder64(z_dim),
+        variational=True,
+        latent_dropout=latent_dropout,
+    )
+
+
+def modelnet_ae(z_dim: int = 64, latent_dropout: bool = False) -> MMVAEConfig:
+    """Deterministic voxel AE — nolboSingleObject_modelnet_category_AE
+    (nolbo.py:1206-1384; config train_modelnet_category_AE.py:109-131)."""
+    return MMVAEConfig(
+        z_category_dim=z_dim,
+        z_inst_dim=0,
+        encoder="voxel",
+        encoder3d=_encoder3d(z_dim),
+        decoder=_decoder64(z_dim),
+        variational=False,
+        latent_dropout=latent_dropout,
+    )
+
+
+def ae3d(z_dim: int = 16) -> MMVAEConfig:
+    """The distributed voxel AE — AE3D (AE3D.py:28-128; config
+    train_modelnet_AE.py:18-38). Same shape as modelnet_ae with z=16; its
+    b_range input remap lives in the loss config, not the model."""
+    return modelnet_ae(z_dim=z_dim)
+
+
+# --------------------------------------------------------------------------
+# Pascal3D+ image->voxel family (12 classes, 10 instances, Darknet19)
+# --------------------------------------------------------------------------
+
+def _pascal_head(output_dim: int) -> Head2DConfig:
+    """Pascal heads are a bare 1x1 projection + global max pool
+    (train_pascal.py:182-189: empty filter lists)."""
+    return Head2DConfig(
+        output_dim=output_dim, filter_nums=(), filter_sizes=(), last_pooling="max"
+    )
+
+
+def pascal_nolbo(
+    z_dim: int = 16, category_dim: int = 12, inst_dim: int = 10, backbone: str = "darknet19"
+) -> MMVAEConfig:
+    """Dual-latent NOLBO (z = z_category ⊕ z_inst) — nolboSingleObject
+    (nolbo.py:49-324; config train_pascal.py:173-214)."""
+    zc = z_dim // 2
+    return MMVAEConfig(
+        z_category_dim=zc,
+        z_inst_dim=z_dim - zc,
+        category_dim=category_dim,
+        inst_dim=inst_dim,
+        encoder="image",
+        backbone=backbone,
+        head=_pascal_head(2 * z_dim),
+        decoder=_decoder64(z_dim),
+        prior_category=PriorNetConfig(
+            input_dim=category_dim, unit_nums=(32, zc), const_log_var=0.0
+        ),
+        prior_inst=PriorNetConfig(
+            input_dim=category_dim + inst_dim, unit_nums=(32, z_dim - zc), const_log_var=0.0
+        ),
+        variational=True,
+    )
+
+
+def pascal_category(z_dim: int = 16, category_dim: int = 12, backbone: str = "darknet19") -> MMVAEConfig:
+    """Single category latent with class prior — nolboSingleObject_category_only
+    (nolbo.py:984-1203; config train_pascal_category.py:173-206)."""
+    return MMVAEConfig(
+        z_category_dim=z_dim,
+        z_inst_dim=0,
+        category_dim=category_dim,
+        encoder="image",
+        backbone=backbone,
+        head=_pascal_head(2 * z_dim),
+        decoder=_decoder64(z_dim),
+        prior_category=PriorNetConfig(
+            input_dim=category_dim, unit_nums=(32, z_dim), const_log_var=0.0
+        ),
+        variational=True,
+    )
+
+
+def pascal_vae(z_dim: int = 16, backbone: str = "darknet19", latent_dropout: bool = False) -> MMVAEConfig:
+    """Image VAE baseline — nolboSingleObject_VAE (nolbo.py:750-982; config
+    train_pascal_VAE.py:173-199)."""
+    return MMVAEConfig(
+        z_category_dim=z_dim,
+        z_inst_dim=0,
+        encoder="image",
+        backbone=backbone,
+        head=_pascal_head(2 * z_dim),
+        decoder=_decoder64(z_dim),
+        variational=True,
+        latent_dropout=latent_dropout,
+    )
+
+
+def pascal_ae(z_dim: int = 16, backbone: str = "darknet19", latent_dropout: bool = False) -> MMVAEConfig:
+    """Image AE baseline — nolboSingleObject_AE (nolbo.py:541-748; config
+    train_pascal_AE.py:173-199)."""
+    return MMVAEConfig(
+        z_category_dim=z_dim,
+        z_inst_dim=0,
+        encoder="image",
+        backbone=backbone,
+        head=_pascal_head(z_dim),
+        decoder=_decoder64(z_dim),
+        variational=False,
+        latent_dropout=latent_dropout,
+    )
+
+
+# --------------------------------------------------------------------------
+# KITTI image->voxel (single class, instance prior only)
+# --------------------------------------------------------------------------
+
+def kitti_inst_only(z_dim: int = 16, inst_dim: int = 10, backbone: str = "darknet19") -> MMVAEConfig:
+    """Instance-prior-only NOLBO — nolboSingleObject_instOnly
+    (nolbo.py:326-539; config train_kitti.py:131-164)."""
+    return MMVAEConfig(
+        z_category_dim=0,
+        z_inst_dim=z_dim,
+        inst_dim=inst_dim,
+        encoder="image",
+        backbone=backbone,
+        head=_pascal_head(2 * z_dim),
+        decoder=_decoder64(z_dim),
+        prior_inst=PriorNetConfig(input_dim=inst_dim, unit_nums=(32, z_dim), const_log_var=0.0),
+        variational=True,
+    )
+
+
+REGISTRY = {
+    "modelnet_nolbo": modelnet_nolbo,
+    "modelnet_vae": modelnet_vae,
+    "modelnet_vae_dr": lambda: modelnet_vae(latent_dropout=True),
+    "modelnet_ae": modelnet_ae,
+    "modelnet_ae_dr": lambda: modelnet_ae(latent_dropout=True),
+    "ae3d": ae3d,
+    "pascal_nolbo": pascal_nolbo,
+    "pascal_category": pascal_category,
+    "pascal_vae": pascal_vae,
+    "pascal_vae_dr": lambda: pascal_vae(latent_dropout=True),
+    "pascal_ae": pascal_ae,
+    "pascal_ae_dr": lambda: pascal_ae(latent_dropout=True),
+    "kitti_inst_only": kitti_inst_only,
+}

@@ -176,6 +176,18 @@ class MultiModalVAE(nn.Module):
         dual-latent model (nolbo.py:96-97); callers build the concatenation."""
         return self.prior_inst(inst_onehot, deterministic=deterministic)
 
+    # ------------------------------------------------------------------ init
+    def initialize(self, x):
+        """Trace every submodule once so ``model.init`` creates all params
+        (``__call__`` alone would skip the prior networks)."""
+        cfg = self.config
+        out = self.__call__(x)
+        if cfg.prior_category is not None:
+            self.prior_category(jnp.zeros((1, cfg.prior_category.input_dim)))
+        if cfg.prior_inst is not None:
+            self.prior_inst(jnp.zeros((1, cfg.prior_inst.input_dim)))
+        return out
+
     # ------------------------------------------------------------------ forward
     def __call__(self, x, key: Optional[jax.Array] = None):
         """Posterior-mean autoencode (jit-compile check / inference path)."""

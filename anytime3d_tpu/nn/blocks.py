@@ -127,7 +127,12 @@ class DeconvBlock3D(nn.Module):
 
 
 class DenseBlock(nn.Module):
-    """Flatten + Dense + GroupNorm + activation (linearTransform analogue)."""
+    """Flatten + Dense + LayerNorm + activation (linearTransform analogue).
+
+    LayerNorm, not GroupNorm: on a (B, C) tensor GroupNorm's per-group
+    normalization degenerates (singleton groups normalize to zero), while
+    LayerNorm normalizes over the full feature axis.
+    """
 
     features: int
     act: str = "elu"
@@ -137,7 +142,7 @@ class DenseBlock(nn.Module):
     def __call__(self, x):
         x = x.reshape((x.shape[0], -1))
         x = nn.Dense(self.features, dtype=self.dtype)(x)
-        x = group_norm(self.features, self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
         return activation(self.act)(x)
 
 

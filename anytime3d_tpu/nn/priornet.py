@@ -36,7 +36,8 @@ class _Tower(nn.Module):
     def __call__(self, x, deterministic: bool):
         for units in self.unit_nums[:-1]:
             x = nn.Dense(units, dtype=self.dtype)(x)
-            x = group_norm(units, self.dtype)(x)
+            # LayerNorm (GroupNorm degenerates on (B, C) dense outputs)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
             x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
             x = activation(self.act)(x)
         return nn.Dense(self.unit_nums[-1], dtype=self.dtype)(x)

@@ -1,0 +1,139 @@
+"""Anytime-protocol tests: masking, correction, Gaussian fusion (SURVEY.md §4e)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anytime3d_tpu.anytime import (
+    GaussianBelief,
+    anytime_eval,
+    classify_by_prior,
+    correct_latent,
+    fuse_observation,
+    fuse_sequence,
+)
+from anytime3d_tpu.models.mmvae import MultiModalVAE
+from anytime3d_tpu.train import LossConfig, create_train_state, make_train_step
+
+from tests.test_train import synth_batch, tiny_voxel_cfg
+
+
+class TestClassifyCorrect:
+    def test_classify_exact(self):
+        priors = jnp.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+        z = jnp.array([[9.0, 9.5], [0.1, -0.2]])
+        pred = np.asarray(classify_by_prior(z, priors))
+        assert list(pred) == [1, 0]
+
+    def test_masked_distance_ignores_missing(self):
+        priors = jnp.array([[0.0, 100.0], [10.0, 0.0]])
+        # dim 1 is missing; observed dim 0 says class 1
+        z = jnp.array([[9.0, -999.0]])
+        mask = jnp.array([[1.0, 0.0]])
+        pred = np.asarray(classify_by_prior(z, priors, mask=mask))
+        assert pred[0] == 1
+
+    def test_correct_latent_mean_mode(self):
+        priors = jnp.array([[0.0, 0.0, 5.0], [10.0, 10.0, -5.0]])
+        z = jnp.array([[10.1, -1.0, 0.0]])
+        mask = jnp.array([[1.0, 0.0, 0.0]])
+        z_c = np.asarray(
+            correct_latent(jax.random.PRNGKey(0), z, mask, priors, mode="mean")
+        )
+        # observed dim kept; missing dims snapped to class-1 prior
+        assert z_c[0, 0] == np.float32(10.1)
+        assert z_c[0, 1] == 10.0 and z_c[0, 2] == -5.0
+
+    def test_correct_latent_resample_near_prior(self):
+        priors = jnp.array([[0.0] * 8, [10.0] * 8])
+        z = jnp.full((1, 8), 9.5)
+        mask = jnp.concatenate([jnp.ones((1, 4)), jnp.zeros((1, 4))], axis=-1)
+        z_c = np.asarray(
+            correct_latent(jax.random.PRNGKey(0), z, mask, priors, mode="resample")
+        )
+        assert np.allclose(z_c[0, :4], 9.5)
+        # resampled from N(10, 1): within a few sigmas
+        assert (np.abs(z_c[0, 4:] - 10.0) < 5.0).all()
+
+
+class TestAnytimeEval:
+    def _trained(self, steps=30):
+        model = MultiModalVAE(tiny_voxel_cfg(variational=True, with_prior=True))
+        batch = synth_batch(n=8)
+        state = create_train_state(model, batch["input"], jax.random.PRNGKey(0), learning_rate=3e-3)
+        step = make_train_step(model, LossConfig(), donate=False)
+        for i in range(steps):
+            state, _ = step(state, batch, jax.random.PRNGKey(i))
+        return model, state, batch
+
+    def test_protocol_outputs(self):
+        model, state, batch = self._trained(steps=5)
+        m0 = anytime_eval(model, state.params, batch, jax.random.PRNGKey(0), missing_prob=0.0)
+        assert set(m0) >= {"acc_category", "loss_shape", "precision", "recall"}
+        assert "precision_corrected" not in m0
+        m5 = anytime_eval(model, state.params, batch, jax.random.PRNGKey(0), missing_prob=0.5)
+        assert "precision_corrected" in m5 and "acc_category_corrected" in m5
+
+    def test_jit_compatible(self):
+        model, state, batch = self._trained(steps=1)
+        fn = jax.jit(
+            lambda p, b, k: anytime_eval(model, p, b, k, missing_prob=0.3)
+        )
+        m = fn(state.params, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss_shape"]))
+
+    def test_external_prior_means(self):
+        # AE/VAE path: category_vectors instead of priornet (nolbo.py:632-698)
+        model = MultiModalVAE(tiny_voxel_cfg(variational=True, with_prior=False))
+        batch = synth_batch(n=8)
+        state = create_train_state(model, batch["input"], jax.random.PRNGKey(0))
+        vectors = jnp.asarray(np.random.default_rng(0).normal(size=(5, 8)).astype(np.float32))
+        m = anytime_eval(
+            model, state.params, batch, jax.random.PRNGKey(0),
+            missing_prob=0.5, prior_means=vectors,
+        )
+        assert "precision_corrected" in m
+
+
+class TestGaussianFusion:
+    def test_two_observations_average(self):
+        b = GaussianBelief.uninformative((4,))
+        m1, lv = jnp.full((4,), 2.0), jnp.zeros((4,))
+        m2 = jnp.full((4,), 4.0)
+        b = fuse_observation(b, m1, lv)
+        b = fuse_observation(b, m2, lv)
+        assert np.allclose(np.asarray(b.mean), 3.0, atol=1e-4)
+        # two unit-variance obs -> var 1/2
+        assert np.allclose(np.asarray(b.log_var), np.log(0.5), atol=1e-3)
+
+    def test_masked_dims_keep_prior(self):
+        prior = GaussianBelief.from_moments(jnp.zeros((2,)), jnp.zeros((2,)))
+        obs_mean = jnp.array([5.0, 5.0])
+        mask = jnp.array([1.0, 0.0])
+        b = fuse_observation(prior, obs_mean, jnp.zeros((2,)), mask=mask)
+        assert np.allclose(float(b.mean[1]), 0.0)
+        assert float(b.mean[0]) > 2.0
+
+    def test_monotone_uncertainty_reduction(self):
+        # the anytime property: more observations never increase variance
+        rng = np.random.default_rng(0)
+        means = jnp.asarray(rng.normal(2.0, 0.1, size=(10, 6)).astype(np.float32))
+        lvs = jnp.zeros((10, 6))
+        masks = jnp.asarray((rng.uniform(size=(10, 6)) > 0.5).astype(np.float32))
+        prev_var = np.inf
+        belief = GaussianBelief.uninformative((6,))
+        for t in range(10):
+            belief = fuse_observation(belief, means[t], lvs[t], masks[t])
+            var = float(jnp.sum(1.0 / belief.precision))
+            assert var <= prev_var + 1e-6
+            prev_var = var
+
+    def test_fuse_sequence_matches_loop(self):
+        rng = np.random.default_rng(1)
+        means = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+        lvs = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32) * 0.1)
+        seq = fuse_sequence(means, lvs)
+        loop = GaussianBelief.uninformative((3,))
+        for t in range(5):
+            loop = fuse_observation(loop, means[t], lvs[t])
+        assert np.allclose(np.asarray(seq.mean), np.asarray(loop.mean), rtol=1e-5)

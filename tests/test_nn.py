@@ -1,0 +1,125 @@
+"""Shape/dtype golden tests for net cores (SURVEY.md §4b)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anytime3d_tpu.nn import (
+    Darknet19,
+    Darknet53,
+    Darknet53Tiny,
+    Decoder3D,
+    Decoder3DConfig,
+    Encoder3D,
+    Encoder3DConfig,
+    Head2D,
+    PriorNet,
+    PriorNetConfig,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_darknet19_stride32():
+    model = Darknet19()
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(KEY, x)["params"]
+    y = model.apply({"params": params}, x)
+    assert y.shape == (1, 2, 2, 1024)
+
+
+def test_darknet53_multiscale():
+    model = Darknet53()
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(KEY, x)["params"]
+    x36, x61, y = model.apply({"params": params}, x)
+    assert x36.shape == (1, 8, 8, 256)
+    assert x61.shape == (1, 4, 4, 512)
+    assert y.shape == (1, 2, 2, 1024)
+
+
+def test_darknet53tiny():
+    model = Darknet53Tiny()
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(KEY, x)["params"]
+    x8, y = model.apply({"params": params}, x)
+    assert x8.shape == (1, 4, 4, 256)
+    assert y.shape == (1, 2, 2, 1024)
+
+
+def test_head2d_pooling_modes():
+    for pooling, expect in [("max", (2, 24)), ("average", (2, 24)), (None, (2, 4, 4, 24))]:
+        model = Head2D(output_dim=24, filter_nums=(32,), filter_sizes=(3,), last_pooling=pooling)
+        x = jnp.ones((2, 4, 4, 16))
+        params = model.init(KEY, x)["params"]
+        y = model.apply({"params": params}, x)
+        assert y.shape == expect, pooling
+
+
+def test_encoder3d_shapes():
+    cfg = Encoder3DConfig(
+        output_dim=16, filter_nums=(8, 16), filter_sizes=(3, 3, 3), strides=(2, 2, 1),
+        final_pool="average",
+    )
+    model = Encoder3D(cfg)
+    x = jnp.ones((2, 16, 16, 16, 1))
+    params = model.init(KEY, x)["params"]
+    y = model.apply({"params": params}, x)
+    assert y.shape == (2, 16)
+
+
+def test_decoder3d_shapes_and_range():
+    cfg = Decoder3DConfig(
+        input_dim=8, output_shape=(16, 16, 16, 1), filter_nums=(16, 8, 1),
+        filter_sizes=(3, 3, 3), strides=(1, 2, 2),
+    )
+    model = Decoder3D(cfg)
+    z = jax.random.normal(KEY, (2, 8))
+    params = model.init(KEY, z)["params"]
+    y = model.apply({"params": params}, z)
+    assert y.shape == (2, 16, 16, 16, 1)
+    y = np.asarray(y)
+    assert (y >= 0).all() and (y <= 1).all()  # sigmoid occupancy
+
+
+def test_decoder3d_reference_channel_rule():
+    """Reference: conv input channels = max(filters[0]/64, 8) (autoencoder3D.py:115-120)."""
+    cfg = Decoder3DConfig(
+        input_dim=4, output_shape=(16, 16, 16, 1), filter_nums=(512, 1),
+        filter_sizes=(3, 3), strides=(2, 2),
+    )
+    model = Decoder3D(cfg)
+    z = jnp.ones((1, 4))
+    params = model.init(KEY, z)["params"]
+    # dense output = (16/4)^3 * max(512/64, 8) = 64 * 8
+    dense_kernel = params["DenseBlock_0"]["Dense_0"]["kernel"]
+    assert dense_kernel.shape == (4, 64 * 8)
+
+
+def test_priornet_const_log_var():
+    cfg = PriorNetConfig(input_dim=5, unit_nums=(16, 4), const_log_var=0.0)
+    model = PriorNet(cfg)
+    onehot = jnp.eye(5)
+    params = model.init(KEY, onehot)["params"]
+    mean, log_var = model.apply({"params": params}, onehot)
+    assert mean.shape == (5, 4)
+    assert np.allclose(np.asarray(log_var), 0.0)
+    assert "log_var_tower" not in params
+
+
+def test_priornet_learned_log_var_and_dropout():
+    cfg = PriorNetConfig(input_dim=5, unit_nums=(16, 4), const_log_var=None)
+    model = PriorNet(cfg)
+    onehot = jnp.eye(5)
+    params = model.init({"params": KEY, "dropout": KEY}, onehot)["params"]
+    assert "log_var_tower" in params
+    m1, lv1 = model.apply({"params": params}, onehot, deterministic=True)
+    # stochastic under dropout
+    m2a, _ = model.apply(
+        {"params": params}, onehot, False, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    m2b, _ = model.apply(
+        {"params": params}, onehot, False, rngs={"dropout": jax.random.PRNGKey(2)}
+    )
+    assert not np.allclose(np.asarray(m2a), np.asarray(m2b))
+    assert lv1.shape == (5, 4)
