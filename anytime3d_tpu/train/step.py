@@ -124,7 +124,10 @@ def compute_losses(
     mcfg = model.config
     fwd = _encode_and_sample(model, cfg, params, batch, key, deterministic)
     enc, pred = fwd["enc"], fwd["pred"]
-    target = batch["target"]
+    # losses always in fp32: the voxel BCE sums ~262k log terms per sample,
+    # which loses mass in bfloat16 even when the model computes in bf16
+    pred = pred.astype(jnp.float32)
+    target = batch["target"].astype(jnp.float32)
 
     metrics: Dict[str, jnp.ndarray] = {}
     total = jnp.zeros(())
