@@ -1,0 +1,14 @@
+"""Evaluation protocols: missing-rate sweeps, PR curves, latent statistics.
+
+Reference counterparts: the 17 test_*.py scripts + the PR-curve notebooks
+(SURVEY.md §2.6, §6).
+"""
+
+from anytime3d_tpu.evaluation.protocols import (
+    missing_rate_sweep,
+    pr_curve,
+    category_vectors,
+    evaluate_epoch,
+)
+
+__all__ = ["missing_rate_sweep", "pr_curve", "category_vectors", "evaluate_epoch"]

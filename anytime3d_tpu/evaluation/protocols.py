@@ -1,0 +1,119 @@
+"""Metric protocols reproducing the reference evaluation scripts.
+
+- ``missing_rate_sweep``: anytime degradation at rates {0.3, 0.5, 0.7, 0.9},
+  uncorrected vs prior-corrected (test_modelnet_3D.py:117, test_pascal_3D.py:144)
+- ``pr_curve``: precision/recall over decode thresholds
+  (modelnetAE3.ipynb cells 2-3, computed on-device instead of offline dumps)
+- ``category_vectors``: per-class mean latents used as AE/VAE eval priors
+  (test_modelnet_getLatents.py:93-115)
+- ``evaluate_epoch``: single-pass eval at a fixed missing rate
+  (test_modelnet_AE.py:104-156)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anytime3d_tpu.anytime import anytime_eval
+from anytime3d_tpu.models.mmvae import MultiModalVAE
+from anytime3d_tpu.ops import voxel_tp_fp_fn
+
+
+def missing_rate_sweep(
+    model: MultiModalVAE,
+    params,
+    batch_fn: Callable[[int], Dict],
+    rates: Sequence[float] = (0.3, 0.5, 0.7, 0.9),
+    num_batches: int = 8,
+    prior_means=None,
+    seed: int = 0,
+) -> Dict[float, Dict[str, float]]:
+    """Anytime degradation table: metrics per missing rate, averaged over
+    ``num_batches`` batches."""
+    out: Dict[float, Dict[str, float]] = {}
+    for rate in rates:
+        sums: Dict[str, float] = {}
+        for b in range(num_batches):
+            key = jax.random.PRNGKey(seed * 10_000 + int(rate * 100) * 100 + b)
+            metrics = anytime_eval(
+                model, params, batch_fn(b), key,
+                missing_prob=rate, prior_means=prior_means,
+            )
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        out[rate] = {k: v / num_batches for k, v in sums.items()}
+    return out
+
+
+def pr_curve(
+    target: jnp.ndarray,
+    pred: jnp.ndarray,
+    thresholds: Optional[Sequence[float]] = None,
+) -> Dict[str, np.ndarray]:
+    """Precision/recall/IoU across decode thresholds, one device pass per
+    threshold (the reference dumps voxels to txt and sweeps offline in a
+    notebook)."""
+    if thresholds is None:
+        thresholds = np.linspace(0.05, 0.95, 19)
+    ps, rs, ious = [], [], []
+    for t in thresholds:
+        tp, fp, fn = voxel_tp_fp_fn(target, pred, threshold=float(t))
+        ps.append(float(jnp.mean(tp / (tp + fp + 1e-10))))
+        rs.append(float(jnp.mean(tp / (tp + fn + 1e-10))))
+        ious.append(float(jnp.mean(tp / (tp + fp + fn + 1e-10))))
+    return {
+        "threshold": np.asarray(thresholds, np.float32),
+        "precision": np.asarray(ps, np.float32),
+        "recall": np.asarray(rs, np.float32),
+        "iou": np.asarray(ious, np.float32),
+    }
+
+
+def category_vectors(
+    model: MultiModalVAE,
+    params,
+    batch_fn: Callable[[int], Dict],
+    num_classes: int,
+    num_batches: int = 16,
+) -> np.ndarray:
+    """Per-class mean posterior-mean latents — the AE/VAE external priors
+    (test_modelnet_getLatents.py:93-115). Returns (num_classes, z_dim)."""
+    sums = None
+    counts = np.zeros(num_classes)
+    for b in range(num_batches):
+        batch = batch_fn(b)
+        enc = model.apply({"params": params}, batch["input"], method=MultiModalVAE.encode)
+        z = np.asarray(enc.mean)
+        labels = np.argmax(np.asarray(batch["category_onehot"]), axis=-1)
+        if sums is None:
+            sums = np.zeros((num_classes, z.shape[-1]), np.float64)
+        np.add.at(sums, labels, z)
+        np.add.at(counts, labels, 1)
+    counts = np.maximum(counts, 1)
+    return (sums / counts[:, None]).astype(np.float32)
+
+
+def evaluate_epoch(
+    model: MultiModalVAE,
+    params,
+    batch_fn: Callable[[int], Dict],
+    num_batches: int,
+    missing_prob: float = 0.0,
+    prior_means=None,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Single-pass eval: mean loss/P/R (+ corrected variants when masking)."""
+    sums: Dict[str, float] = {}
+    for b in range(num_batches):
+        key = jax.random.PRNGKey(seed + b)
+        metrics = anytime_eval(
+            model, params, batch_fn(b), key,
+            missing_prob=missing_prob, prior_means=prior_means,
+        )
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+    return {k: v / num_batches for k, v in sums.items()}

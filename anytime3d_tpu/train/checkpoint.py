@@ -1,0 +1,97 @@
+"""Orbax checkpointing with per-submodule composability.
+
+The reference checkpoints each Keras submodel separately and loses optimizer
+state on resume (nolbo.py:261-324, SURVEY.md §5). Here the FULL train state
+(params + Adam moments + step) is saved atomically, while the reference's
+cross-experiment composability (pull an ImageNet-pretrained backbone or a
+3D-AE-pretrained decoder into NOLBO, train_pascal.py:222-225) is preserved by
+grafting named param subtrees between checkpoints — submodule names are the
+param-tree keys (``backbone``, ``head``, ``encoder3d``, ``decoder``,
+``prior_category``, ``prior_inst``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from anytime3d_tpu.train.state import TrainState
+
+
+def _checkpointer() -> ocp.Checkpointer:
+    return ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+
+
+def save_state(path: str, state: TrainState) -> None:
+    """Save the full train state (params + optimizer + step) atomically."""
+    payload = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    _checkpointer().save(os.path.abspath(path), payload, force=True)
+
+
+def restore_state(path: str, state: TrainState) -> TrainState:
+    """Restore a full train state; ``state`` provides the pytree structure
+    (and shardings, when its leaves are sharded arrays)."""
+    template = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    restored = _checkpointer().restore(os.path.abspath(path), item=template)
+    return state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+
+
+def save_params(path: str, params: Any) -> None:
+    """Save bare params (inference export)."""
+    _checkpointer().save(os.path.abspath(path), {"params": params}, force=True)
+
+
+def restore_params(path: str, params_template: Any) -> Any:
+    return _checkpointer().restore(os.path.abspath(path), item={"params": params_template})[
+        "params"
+    ]
+
+
+def graft_submodule(
+    state: TrainState,
+    donor_path: str,
+    submodule: str,
+    donor_submodule: Optional[str] = None,
+    reset_opt_state: bool = True,
+) -> TrainState:
+    """Load one submodule's params from another experiment's checkpoint.
+
+    ``submodule``: top-level key in this model's param tree (e.g. 'backbone',
+    'decoder'). ``donor_submodule``: key in the donor checkpoint (defaults to
+    the same name) — e.g. graft a Classifier's 'backbone' into a NOLBO model.
+    Shapes must match; a mismatch raises with the offending path. Optimizer
+    moments are reset by default (they refer to the old params).
+    """
+    donor_submodule = donor_submodule or submodule
+    if submodule not in state.params:
+        raise KeyError(f"model has no submodule {submodule!r}; has {list(state.params)}")
+    # restore without a template: the donor checkpoint's structure may differ
+    # from this model everywhere except the grafted subtree
+    restored = _checkpointer().restore(os.path.abspath(donor_path))
+    donor_params = restored["params"]
+    if donor_submodule not in donor_params:
+        raise KeyError(
+            f"donor checkpoint has no submodule {donor_submodule!r}; has {list(donor_params)}"
+        )
+    donor = donor_params[donor_submodule]
+
+    def check(path, a, b):
+        if a.shape != b.shape:
+            raise ValueError(f"shape mismatch at {submodule}/{jax.tree_util.keystr(path)}: "
+                             f"{a.shape} vs donor {b.shape}")
+        return b
+
+    grafted = jax.tree_util.tree_map_with_path(check, state.params[submodule], donor)
+    new_params = dict(state.params)
+    new_params[submodule] = grafted
+    state = state.replace(params=new_params)
+    if reset_opt_state:
+        state = state.replace(opt_state=state.tx.init(state.params))
+    return state

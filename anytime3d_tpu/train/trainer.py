@@ -1,0 +1,145 @@
+"""Training loop: prefetched batches, mesh sharding, periodic eval/save,
+NaN abort, multi-scale schedule.
+
+Reference semantics: the common loop of every train_*.py (SURVEY.md §2.6):
+running-mean stdout dashboard, NaN self-abort (train_pascal.py:167-170),
+epoch-boundary save (:136-143), multi-scale image/batch schedule shuffled
+every 3 iterations (:121-124). TPU-first: batches prefetch to device on a
+background thread; each (shape, batch) bucket compiles once and is cached;
+eval runs on a cadence instead of every step (the reference evaluates train
+AND test every iteration — pure overhead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from anytime3d_tpu.anytime import anytime_eval
+from anytime3d_tpu.parallel import batch_sharding, make_mesh, shard_batch
+from anytime3d_tpu.train.checkpoint import restore_state, save_state
+from anytime3d_tpu.train.state import TrainState
+from anytime3d_tpu.train.step import LossConfig, make_eval_step, make_train_step
+from anytime3d_tpu.utils.logging import MetricLogger
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    total_steps: int = 1000
+    eval_every: int = 100
+    save_every: int = 1000
+    log_every: int = 1
+    save_path: Optional[str] = None
+    load_path: Optional[str] = None
+    jsonl_path: Optional[str] = None
+    # multi-scale schedule: list of (rows, cols, batch); shuffled every
+    # ``scale_period`` iterations (train_pascal.py:121-124). None = fixed.
+    multi_scale: Optional[Sequence[Tuple[int, int, int]]] = None
+    scale_period: int = 3
+    use_mesh: bool = False
+    eval_missing_prob: float = 0.5
+
+
+class Trainer:
+    """Drives ``make_train_step`` over a host loader.
+
+    ``batch_fn(step) -> device-ready batch dict`` decouples the trainer from
+    loader specifics; adapters for the reference loaders live in
+    ``anytime3d_tpu.cli.train``.
+    """
+
+    def __init__(
+        self,
+        model,
+        state: TrainState,
+        batch_fn: Callable[[int], Dict],
+        loss_config: LossConfig = LossConfig(),
+        eval_batch_fn: Optional[Callable[[int], Dict]] = None,
+        config: TrainerConfig = TrainerConfig(),
+    ):
+        self.model = model
+        self.state = state
+        self.batch_fn = batch_fn
+        self.eval_batch_fn = eval_batch_fn
+        self.cfg = config
+        self.loss_cfg = loss_config
+        self._step_fn = make_train_step(model, loss_config, donate=True)
+        self._eval_fn = make_eval_step(model, loss_config)
+        self.mesh = make_mesh() if config.use_mesh else None
+        self.logger = MetricLogger(config.jsonl_path, print_every=config.log_every)
+        self.history: List[Dict[str, float]] = []
+        self.aborted_nan = False
+        if config.load_path:
+            self.state = restore_state(config.load_path, self.state)
+
+    def _prepare(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def run(self, epoch_fn: Optional[Callable[[], int]] = None) -> TrainState:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(int(self.state.step))
+        start = int(self.state.step)
+        for it in range(start, cfg.total_steps):
+            key, k_step = jax.random.split(key)
+            batch = self._prepare(self.batch_fn(it))
+            self.state, metrics = self._step_fn(self.state, batch, k_step)
+
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            epoch = epoch_fn() if epoch_fn else 0
+            self.logger.update(host_metrics, step=it, epoch=epoch)
+            self.history.append(host_metrics)
+
+            # NaN abort (train_pascal.py:167-170)
+            if not math.isfinite(host_metrics["loss_total"]):
+                print("\nNaN/Inf loss — aborting (reference NaN-abort semantics)")
+                self.aborted_nan = True
+                break
+
+            if cfg.save_path and (it + 1) % cfg.save_every == 0:
+                save_state(cfg.save_path, self.state)
+
+            if self.eval_batch_fn is not None and (it + 1) % cfg.eval_every == 0:
+                self.evaluate(it)
+
+        if cfg.save_path and not self.aborted_nan:
+            save_state(cfg.save_path, self.state)
+        self.logger.close()
+        return self.state
+
+    def evaluate(self, it: int) -> Dict[str, float]:
+        key = jax.random.PRNGKey(it)
+        batch = self._prepare(self.eval_batch_fn(it))
+        out = {
+            f"eval_{k}": float(v)
+            for k, v in self._eval_fn(self.state.params, batch, key).items()
+        }
+        mcfg = self.model.config
+        if mcfg.prior_category is not None and self.cfg.eval_missing_prob > 0:
+            anytime = anytime_eval(
+                self.model, self.state.params, batch, key,
+                missing_prob=self.cfg.eval_missing_prob,
+            )
+            out.update({f"anytime_{k}": float(v) for k, v in anytime.items()})
+        print("\n" + " ".join(f"{k}:{v:.4f}" for k, v in sorted(out.items())))
+        return out
+
+
+def multi_scale_schedule(
+    sizes: Sequence[Tuple[int, int, int]], it: int, period: int = 3, seed: int = 0
+) -> Tuple[int, int, int]:
+    """Deterministic multi-scale pick: reshuffle the size list every
+    ``period * len(sizes)`` iterations, then walk it ``period`` iterations per
+    entry (train_pascal.py:121-124 with seeded RNG instead of global state).
+    Callers bucket compiled steps by the returned (rows, cols, batch)."""
+    sizes = list(sizes)
+    block = period * len(sizes)
+    round_idx = it // block
+    rng = np.random.default_rng(seed + round_idx)
+    order = rng.permutation(len(sizes))
+    return sizes[order[(it % block) // period]]

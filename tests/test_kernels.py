@@ -1,0 +1,54 @@
+"""Kernel layer tests: subpixel deconv equivalence + gradients."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anytime3d_tpu.kernels import (
+    SubpixelDeconv3D,
+    convtranspose_kernel_to_subpixel,
+    subpixel_deconv3d,
+)
+
+
+class TestSubpixelDeconv:
+    def test_bit_equivalence_with_flax_convtranspose(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 4, 4, 4, 3)).astype(np.float32))
+        ct = nn.ConvTranspose(5, (4, 4, 4), strides=(2, 2, 2), padding="SAME", use_bias=False)
+        params = ct.init(jax.random.PRNGKey(0), x)
+        y_ref = ct.apply(params, x)
+        w_sp = convtranspose_kernel_to_subpixel(params["params"]["kernel"])
+        y_sp = subpixel_deconv3d(x, w_sp)
+        assert y_sp.shape == y_ref.shape == (2, 8, 8, 8, 5)
+        assert float(jnp.max(jnp.abs(y_sp - y_ref))) < 1e-5
+
+    def test_equivalence_multiple_sizes(self):
+        rng = np.random.default_rng(1)
+        for d, cin, cout in [(2, 1, 1), (6, 4, 2)]:
+            x = jnp.asarray(rng.normal(size=(1, d, d, d, cin)).astype(np.float32))
+            ct = nn.ConvTranspose(cout, (4, 4, 4), strides=(2, 2, 2), padding="SAME", use_bias=False)
+            params = ct.init(jax.random.PRNGKey(d), x)
+            y_ref = ct.apply(params, x)
+            y_sp = subpixel_deconv3d(
+                x, convtranspose_kernel_to_subpixel(params["params"]["kernel"])
+            )
+            assert float(jnp.max(jnp.abs(y_sp - y_ref))) < 1e-5, (d, cin, cout)
+
+    def test_module_shapes_and_grad(self):
+        model = SubpixelDeconv3D(features=6)
+        x = jnp.ones((2, 4, 4, 4, 3))
+        params = model.init(jax.random.PRNGKey(0), x)
+        y = model.apply(params, x)
+        assert y.shape == (2, 8, 8, 8, 6)
+        g = jax.grad(lambda p: float(0) + jnp.sum(model.apply(p, x) ** 2))(params)
+        total = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
+        assert total > 0
+
+    def test_param_count_matches_transposed_conv(self):
+        model = SubpixelDeconv3D(features=8)
+        x = jnp.ones((1, 4, 4, 4, 16))
+        params = model.init(jax.random.PRNGKey(0), x)
+        n = sum(l.size for l in jax.tree_util.tree_leaves(params))
+        assert n == 4 * 4 * 4 * 16 * 8  # same as ConvTranspose(8, (4,4,4))
