@@ -12,6 +12,7 @@ from anytime3d_tpu.anytime.engine import (
     fuse_observation,
     fuse_sequence,
 )
+from anytime3d_tpu.anytime.reconstructor import AnytimeReconstructor
 
 __all__ = [
     "anytime_eval",
@@ -20,4 +21,5 @@ __all__ = [
     "GaussianBelief",
     "fuse_observation",
     "fuse_sequence",
+    "AnytimeReconstructor",
 ]
