@@ -42,6 +42,10 @@ class TrainerConfig:
     scale_period: int = 3
     use_mesh: bool = False
     eval_missing_prob: float = 0.5
+    # failure recovery: on NaN/Inf loss, restore the last checkpoint and
+    # continue with a reseeded RNG instead of aborting (the reference can
+    # only abort, train_pascal.py:167-170). 0 = abort immediately.
+    max_nan_restarts: int = 0
 
 
 class Trainer:
@@ -85,7 +89,10 @@ class Trainer:
         cfg = self.cfg
         key = jax.random.PRNGKey(int(self.state.step))
         start = int(self.state.step)
-        for it in range(start, cfg.total_steps):
+        nan_restarts = 0
+        last_saved_step = -1
+        it = start
+        while it < cfg.total_steps:
             key, k_step = jax.random.split(key)
             batch = self._prepare(self.batch_fn(it))
             self.state, metrics = self._step_fn(self.state, batch, k_step)
@@ -95,17 +102,36 @@ class Trainer:
             self.logger.update(host_metrics, step=it, epoch=epoch)
             self.history.append(host_metrics)
 
-            # NaN abort (train_pascal.py:167-170)
+            # failure detection: NaN abort (train_pascal.py:167-170) or
+            # checkpoint-restore recovery when configured
             if not math.isfinite(host_metrics["loss_total"]):
+                can_restore = (
+                    nan_restarts < cfg.max_nan_restarts
+                    and cfg.save_path is not None
+                    and last_saved_step >= 0
+                )
+                if can_restore:
+                    nan_restarts += 1
+                    print(
+                        f"\nNaN/Inf loss at step {it} — restoring step "
+                        f"{last_saved_step} checkpoint (restart {nan_restarts}/"
+                        f"{cfg.max_nan_restarts})"
+                    )
+                    self.state = restore_state(cfg.save_path, self.state)
+                    key = jax.random.PRNGKey(int(self.state.step) * 7919 + nan_restarts)
+                    it = int(self.state.step)
+                    continue
                 print("\nNaN/Inf loss — aborting (reference NaN-abort semantics)")
                 self.aborted_nan = True
                 break
 
             if cfg.save_path and (it + 1) % cfg.save_every == 0:
                 save_state(cfg.save_path, self.state)
+                last_saved_step = it
 
             if self.eval_batch_fn is not None and (it + 1) % cfg.eval_every == 0:
                 self.evaluate(it)
+            it += 1
 
         if cfg.save_path and not self.aborted_nan:
             save_state(cfg.save_path, self.state)
