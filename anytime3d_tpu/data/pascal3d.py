@@ -153,6 +153,18 @@ class _PascalBase:
         self.images = list(self._by_image)
 
 
+def orientation_anchors(records, k: int = 30, max_iter: int = 1000, seed: int = 0):
+    """Orientation anchor bins: k-means over (sin, cos) Euler triples of all
+    records (pascal3D.py:156-181 getKmeansAEI; the reference freezes its
+    result as AEI_kmeans at pascal3D.py:21-54). Returns (k, 6) centres."""
+    from anytime3d_tpu.ops.kmeans import kmeans_sincos
+
+    euler = np.array([r.euler_rad for r in records], np.float32)
+    x = np.concatenate([np.sin(euler), np.cos(euler)], axis=-1)
+    centres, _, _ = kmeans_sincos(x, k=k, max_iter=max_iter, seed=seed)
+    return centres
+
+
 class Pascal3DSingleObjectLoader(_PascalBase):
     """Per-object crop batches (pascal3D.py:186-283).
 

@@ -10,5 +10,12 @@ from anytime3d_tpu.evaluation.protocols import (
     category_vectors,
     evaluate_epoch,
 )
+from anytime3d_tpu.evaluation.dump import dump_reconstructions
 
-__all__ = ["missing_rate_sweep", "pr_curve", "category_vectors", "evaluate_epoch"]
+__all__ = [
+    "missing_rate_sweep",
+    "pr_curve",
+    "category_vectors",
+    "evaluate_epoch",
+    "dump_reconstructions",
+]
