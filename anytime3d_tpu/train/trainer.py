@@ -97,33 +97,38 @@ class Trainer:
             batch = self._prepare(self.batch_fn(it))
             self.state, metrics = self._step_fn(self.state, batch, k_step)
 
-            host_metrics = {k: float(v) for k, v in metrics.items()}
-            epoch = epoch_fn() if epoch_fn else 0
-            self.logger.update(host_metrics, step=it, epoch=epoch)
-            self.history.append(host_metrics)
+            # fetch metrics (a device sync) only on the logging cadence —
+            # per-step host syncs stall the dispatch pipeline, which is the
+            # dominant overhead on tunneled/remote devices
+            do_log = it % self.cfg.log_every == 0 or it == cfg.total_steps - 1
+            if do_log:
+                host_metrics = {k: float(v) for k, v in metrics.items()}
+                epoch = epoch_fn() if epoch_fn else 0
+                self.logger.update(host_metrics, step=it, epoch=epoch)
+                self.history.append(host_metrics)
 
-            # failure detection: NaN abort (train_pascal.py:167-170) or
-            # checkpoint-restore recovery when configured
-            if not math.isfinite(host_metrics["loss_total"]):
-                can_restore = (
-                    nan_restarts < cfg.max_nan_restarts
-                    and cfg.save_path is not None
-                    and last_saved_step >= 0
-                )
-                if can_restore:
-                    nan_restarts += 1
-                    print(
-                        f"\nNaN/Inf loss at step {it} — restoring step "
-                        f"{last_saved_step} checkpoint (restart {nan_restarts}/"
-                        f"{cfg.max_nan_restarts})"
+                # failure detection: NaN abort (train_pascal.py:167-170) or
+                # checkpoint-restore recovery when configured
+                if not math.isfinite(host_metrics["loss_total"]):
+                    can_restore = (
+                        nan_restarts < cfg.max_nan_restarts
+                        and cfg.save_path is not None
+                        and last_saved_step >= 0
                     )
-                    self.state = restore_state(cfg.save_path, self.state)
-                    key = jax.random.PRNGKey(int(self.state.step) * 7919 + nan_restarts)
-                    it = int(self.state.step)
-                    continue
-                print("\nNaN/Inf loss — aborting (reference NaN-abort semantics)")
-                self.aborted_nan = True
-                break
+                    if can_restore:
+                        nan_restarts += 1
+                        print(
+                            f"\nNaN/Inf loss at step {it} — restoring step "
+                            f"{last_saved_step} checkpoint (restart {nan_restarts}/"
+                            f"{cfg.max_nan_restarts})"
+                        )
+                        self.state = restore_state(cfg.save_path, self.state)
+                        key = jax.random.PRNGKey(int(self.state.step) * 7919 + nan_restarts)
+                        it = int(self.state.step)
+                        continue
+                    print("\nNaN/Inf loss — aborting (reference NaN-abort semantics)")
+                    self.aborted_nan = True
+                    break
 
             if cfg.save_path and (it + 1) % cfg.save_every == 0:
                 save_state(cfg.save_path, self.state)
