@@ -16,6 +16,21 @@ from anytime3d_tpu.geometry.projection import (
     project_bbox3d_corners,
 )
 from anytime3d_tpu.geometry.translation import recover_translation
+from anytime3d_tpu.geometry.twoview import (
+    TwoViewResult,
+    estimate_essential,
+    decompose_essential,
+    triangulate,
+    two_view_pose,
+)
+from anytime3d_tpu.geometry.features import (
+    Keypoints,
+    Matches,
+    harris_response,
+    detect_keypoints,
+    extract_descriptors,
+    match_descriptors,
+)
 from anytime3d_tpu.geometry.lifting import (
     voxel_grid_points,
     rescale_transform_points,
@@ -32,6 +47,17 @@ __all__ = [
     "project_points",
     "project_bbox3d_corners",
     "recover_translation",
+    "Keypoints",
+    "Matches",
+    "harris_response",
+    "detect_keypoints",
+    "extract_descriptors",
+    "match_descriptors",
+    "TwoViewResult",
+    "estimate_essential",
+    "decompose_essential",
+    "triangulate",
+    "two_view_pose",
     "voxel_grid_points",
     "rescale_transform_points",
     "lift_detections",

@@ -118,6 +118,8 @@ def pgo_step(graph: PoseGraph, damping: float = 1e-3) -> Tuple[PoseGraph, jnp.nd
 
 
 def solve_pose_graph(graph: PoseGraph, iters: int = 10, damping: float = 1e-3):
+    """Returns (solved_graph, cost_history); history[k] is the cost *before*
+    step k, so the last entry is one step stale (standard GN convention)."""
     def body(g, _):
         new, cost = pgo_step(g, damping)
         return new, cost
