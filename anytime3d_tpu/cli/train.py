@@ -14,11 +14,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_batch_fn(loader, model_cfg):
-    """Adapt a reference-style loader dict/tuple to the train-step batch dict."""
+def build_batch_fn(loader, model_cfg, batch_size=32, image_size=None):
+    """Adapt a reference-style loader dict/tuple to the train-step batch dict.
+
+    Handles all three loader contracts: modelnet dict batches
+    (modelnet_dataset.py:86-91), pascal 6-tuples (pascal3D.py:277-283), and
+    kitti 5-tuples (train_kitti.py:94-100)."""
 
     def batch_fn(_it: int):
-        b = loader.getNextBatch()
+        if image_size is not None:
+            b = loader.getNextBatch(batch_size, imageSize=image_size)
+        else:
+            b = loader.getNextBatch(batch_size)
         if isinstance(b, dict):  # modelnet-style
             out = {
                 "input": jnp.asarray(b["input_images"]),
@@ -29,16 +36,62 @@ def build_batch_fn(loader, model_cfg):
             if model_cfg.inst_dim:
                 out["inst_onehot"] = jnp.asarray(b["inst_list"])
             return out
-        # pascal-style tuple (inst, cls, sin, cos, images, voxels)
-        inst, cls, _sin, _cos, images, voxels = b
+        if len(b) == 5:  # kitti-style (inst, sin, cos, images, voxels)
+            inst, _sin, _cos, images, voxels = b
+            cls = None
+        else:  # pascal-style (inst, cls, sin, cos, images, voxels)
+            inst, cls, _sin, _cos, images, voxels = b
         out = {"input": jnp.asarray(images), "target": jnp.asarray(voxels)}
-        if model_cfg.prior_category is not None or model_cfg.category_dim:
+        if cls is not None and (model_cfg.prior_category is not None or model_cfg.category_dim):
             out["category_onehot"] = jnp.asarray(cls)
         if model_cfg.inst_dim:
             out["inst_onehot"] = jnp.asarray(inst)
         return out
 
     return batch_fn
+
+
+def build_loaders(args, model_cfg):
+    """Construct (train, eval) loaders for any config family from CLI args.
+
+    Dataset selection mirrors the reference entry scripts: ModelNet shards
+    for voxel configs, Pascal3D per-object crops for image configs
+    (train_pascal.py:82-85), KITTI crops + CAD set for kitti configs
+    (train_kitti.py:52); ``--data synthetic`` substitutes procedural shapes
+    (and their rendered projections for image configs)."""
+    from anytime3d_tpu.data import (
+        KittiSingleObjectLoader,
+        ModelNetLoader,
+        Pascal3DSingleObjectLoader,
+        SyntheticImageObjectLoader,
+        SyntheticVoxelLoader,
+    )
+
+    image_encoder = model_cfg.encoder == "image"
+    n_cls = model_cfg.category_dim if model_cfg.category_dim else 40
+    n_inst = model_cfg.inst_dim if model_cfg.inst_dim else 10
+
+    if args.data == "synthetic":
+        mk = SyntheticImageObjectLoader if image_encoder else SyntheticVoxelLoader
+        dim = model_cfg.decoder.output_shape[0]
+        return (
+            mk(num_samples=1024, dim=dim, num_classes=n_cls, num_inst=n_inst),
+            mk(num_samples=256, dim=dim, num_classes=n_cls, num_inst=n_inst, seed=1),
+        )
+    if "kitti" in args.config:
+        cad = getattr(args, "cad_path", None)
+        if cad is None:
+            raise SystemExit("KITTI configs need --cad-path (64^3 CAD .npy dir)")
+        return (
+            KittiSingleObjectLoader(args.data, cad, "train"),
+            KittiSingleObjectLoader(args.data, cad, "val"),
+        )
+    if image_encoder:
+        return (
+            Pascal3DSingleObjectLoader(args.data, "train"),
+            Pascal3DSingleObjectLoader(args.data, "val"),
+        )
+    return ModelNetLoader(args.data, "train"), ModelNetLoader(args.data, "test")
 
 
 def main(argv=None):
@@ -55,10 +108,13 @@ def main(argv=None):
     parser.add_argument("--save-every", type=int, default=1000)
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
     parser.add_argument("--mesh", action="store_true", help="shard batch over all devices")
+    parser.add_argument("--image-size", type=int, default=64,
+                        help="square image size for image-encoder configs")
+    parser.add_argument("--cad-path", default=None,
+                        help="CAD voxel dir (KITTI configs; Pascal uses --data's CAD/)")
     parser.add_argument("--compilation-cache", default="/tmp/anytime3d_jax_cache")
     args = parser.parse_args(argv)
 
-    from anytime3d_tpu.data import ModelNetLoader, SyntheticVoxelLoader
     from anytime3d_tpu.models import configs
     from anytime3d_tpu.models.mmvae import MultiModalVAE
     from anytime3d_tpu.train import LossConfig, create_train_state
@@ -72,41 +128,21 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = MultiModalVAE(model_cfg, dtype=dtype)
 
-    if model_cfg.encoder != "voxel":
-        raise SystemExit(
-            "image-encoder configs need a Pascal3D/KITTI dataset path wired via "
-            "anytime3d_tpu.data loaders; use a voxel config for synthetic runs"
-        )
-
-    if args.data == "synthetic":
-        loader = SyntheticVoxelLoader(
-            num_samples=1024, dim=model_cfg.decoder.output_shape[0],
-            num_classes=max(model_cfg.category_dim, 1) or 40,
-        )
-        eval_loader = SyntheticVoxelLoader(
-            num_samples=256, dim=model_cfg.decoder.output_shape[0],
-            num_classes=max(model_cfg.category_dim, 1) or 40, seed=1,
-        )
-    else:
-        loader = ModelNetLoader(args.data, "train")
-        eval_loader = ModelNetLoader(args.data, "test")
+    image_encoder = model_cfg.encoder == "image"
+    image_size = (args.image_size, args.image_size) if image_encoder else None
+    loader, eval_loader = build_loaders(args, model_cfg)
 
     def make_loader_fn(ld):
-        def fn(_):
-            b = ld.getNextBatch(args.batch_size)
-            out = {
-                "input": jnp.asarray(b["input_images"]),
-                "target": jnp.asarray(b["input_images"]),
-            }
-            if model_cfg.prior_category is not None:
-                out["category_onehot"] = jnp.asarray(b["class_list"])
-            return out
+        return build_batch_fn(ld, model_cfg, args.batch_size, image_size)
 
-        return fn
-
+    init_shape = (
+        (args.batch_size, args.image_size, args.image_size, 3)
+        if image_encoder
+        else (args.batch_size, *model_cfg.decoder.output_shape)
+    )
     state = create_train_state(
         model,
-        jnp.zeros((args.batch_size, *model_cfg.decoder.output_shape), dtype),
+        jnp.zeros(init_shape, dtype),
         jax.random.PRNGKey(0),
         learning_rate=args.learning_rate,
     )

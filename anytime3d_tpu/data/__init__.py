@@ -5,7 +5,12 @@ the MISSING KITTI_dataset.py reconstructed here from its call sites).
 """
 
 from anytime3d_tpu.data.voxel import binarize, zoom_nearest, convert_axis_32to64
-from anytime3d_tpu.data.modelnet import ModelNetLoader, SyntheticVoxelLoader
+from anytime3d_tpu.data.modelnet import (
+    ModelNetLoader,
+    SyntheticImageObjectLoader,
+    SyntheticMultiObjectLoader,
+    SyntheticVoxelLoader,
+)
 from anytime3d_tpu.data.augment import (
     image_random_augmentation,
     remap_bbox,
@@ -22,6 +27,8 @@ __all__ = [
     "convert_axis_32to64",
     "ModelNetLoader",
     "SyntheticVoxelLoader",
+    "SyntheticImageObjectLoader",
+    "SyntheticMultiObjectLoader",
     "image_random_augmentation",
     "remap_bbox",
     "random_flip_horizontal",

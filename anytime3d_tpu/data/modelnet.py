@@ -124,3 +124,129 @@ class SyntheticVoxelLoader:
         cls = np.eye(self._num_classes, dtype=np.float32)[self._labels[sel]]
         inst = np.eye(self._num_inst, dtype=np.float32)[self._insts[sel]]
         return {"input_images": vox, "class_list": cls, "inst_list": inst}
+
+
+class SyntheticImageObjectLoader(SyntheticVoxelLoader):
+    """Pascal-style synthetic loader: renders each procedural shape to an
+    image (orthographic max-projection at a per-sample azimuth) and returns
+    the reference single-object tuple (inst, cls, sin, cos, images, voxels)
+    — the same contract as Pascal3DSingleObjectLoader.getNextBatch
+    (pascal3D.py:277-283), so image->shape configs run end-to-end without a
+    dataset. Any ``imageSize`` works, enabling the multi-scale schedule."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.dataStart = 0  # pascal-style progress attribute
+        self._azimuths = np.random.default_rng(kwargs.get("seed", 0) + 1).uniform(
+            -np.pi, np.pi, self.dataLength
+        )
+
+    def _render(self, vox: np.ndarray, azimuth: float, image_size) -> np.ndarray:
+        """Rotate about the vertical axis (nearest-neighbour) then project."""
+        d = vox.shape[0]
+        c, s = np.cos(azimuth), np.sin(azimuth)
+        idx = np.arange(d) - d / 2 + 0.5
+        gx, gz = np.meshgrid(idx, idx, indexing="ij")
+        sx = np.clip(np.round(c * gx - s * gz + d / 2 - 0.5), 0, d - 1).astype(int)
+        sz = np.clip(np.round(s * gx + c * gz + d / 2 - 0.5), 0, d - 1).astype(int)
+        rot = vox[sx, :, sz]  # (d, d[y], d) rotated about y
+        img = rot.max(axis=2).T.astype(np.float32)  # (rows=y, cols=x)
+        out_c, out_r = image_size
+        ys = (np.arange(out_r) * d // out_r).astype(int)
+        xs = (np.arange(out_c) * d // out_c).astype(int)
+        img = img[ys][:, xs]
+        return np.stack([img] * 3, axis=-1)
+
+    def getNextBatch(self, batchSizeof3DShape: int = 32, imageSize=(64, 64),
+                     augmentation=None):
+        if self.batchStart + batchSizeof3DShape > self.dataLength:
+            self.epoch += 1
+            self._rng.shuffle(self._idx)
+            self.batchStart = 0
+        sel = self._idx[self.batchStart : self.batchStart + batchSizeof3DShape]
+        self.batchStart += batchSizeof3DShape
+        self.dataStart = self.batchStart
+        vox = np.stack([self._make(i) for i in sel])
+        az = self._azimuths[sel]
+        images = np.stack(
+            [self._render(v, a, imageSize) for v, a in zip(vox, az)]
+        )
+        euler = np.stack([az, np.zeros_like(az), np.zeros_like(az)], axis=-1)
+        cls = np.eye(self._num_classes, dtype=np.float32)[self._labels[sel]]
+        inst = np.eye(self._num_inst, dtype=np.float32)[self._insts[sel]]
+        return inst, cls, np.sin(euler), np.cos(euler), images, vox[..., None]
+
+
+class SyntheticMultiObjectLoader(SyntheticVoxelLoader):
+    """Synthetic full-scene loader with the Pascal3DMultiObjectLoader batch
+    contract: ``getNextBatch(B) -> (images, grid_targets, voxel_lists)``
+    (pascal3D.py:547-549 semantics). Each image contains 1..max_objects
+    procedural shapes pasted at random scales/positions; grid targets come
+    from the same ``build_grid_targets`` the real loader uses — so the
+    detector trains end-to-end without a dataset."""
+
+    def __init__(
+        self,
+        num_samples: int = 512,
+        dim: int = 32,
+        num_classes: int = 8,
+        num_inst: int = 10,
+        image_size=(128, 96),
+        grid_size=(4, 3),
+        predictors_per_cell: int = 5,
+        max_objects: int = 3,
+        seed: int = 0,
+    ):
+        super().__init__(num_samples, dim, num_classes, num_inst, seed)
+        self.dataStart = 0
+        self._image_size = image_size
+        self._grid_size = grid_size
+        self._p = predictors_per_cell
+        self._max_obj = max_objects
+
+    def getNextBatch(self, batchSize: int = 8):
+        from anytime3d_tpu.data.pascal3d import build_grid_targets
+
+        render = SyntheticImageObjectLoader._render
+        out_c, out_r = self._image_size
+        images, targets_list, voxel_lists = [], [], []
+        for _ in range(batchSize):
+            if self.batchStart >= self.dataLength:
+                self.epoch += 1
+                self._rng.shuffle(self._idx)
+                self.batchStart = 0
+            img = np.zeros((out_r, out_c, 3), np.float32)
+            n_obj = int(self._rng.integers(1, self._max_obj + 1))
+            objs, voxels = [], []
+            for _k in range(n_obj):
+                i = self._idx[self.batchStart % self.dataLength]
+                self.batchStart += 1
+                vox = self._make(i)
+                az = float(self._rng.uniform(-np.pi, np.pi))
+                h = int(self._rng.integers(out_r // 4, out_r // 2 + 1))
+                w = int(self._rng.integers(out_c // 4, out_c // 2 + 1))
+                r0 = int(self._rng.integers(0, out_r - h + 1))
+                c0 = int(self._rng.integers(0, out_c - w + 1))
+                patch = render(self, vox, az, (w, h))
+                region = img[r0 : r0 + h, c0 : c0 + w]
+                np.maximum(region, patch, out=region)
+                objs.append(
+                    {
+                        "bbox": np.array(
+                            [c0 / out_c, r0 / out_r, (c0 + w) / out_c, (r0 + h) / out_r],
+                            np.float32,
+                        ),
+                        "euler_rad": (az, 0.0, 0.0),
+                        "inst_onehot": np.eye(self._num_inst, dtype=np.float32)[
+                            self._insts[i]
+                        ],
+                        "voxel_index": len(voxels),
+                    }
+                )
+                voxels.append(vox[..., None])
+            images.append(img)
+            targets_list.append(build_grid_targets(objs, self._grid_size, self._p))
+            voxel_lists.append(np.stack(voxels))
+        self.dataStart = self.batchStart
+        targets = {k: np.stack([t[k] for t in targets_list]) for k in targets_list[0]}
+        return np.stack(images), targets, voxel_lists

@@ -64,15 +64,21 @@ class Trainer:
         loss_config: LossConfig = LossConfig(),
         eval_batch_fn: Optional[Callable[[int], Dict]] = None,
         config: TrainerConfig = TrainerConfig(),
+        step_fn: Optional[Callable] = None,
+        eval_fn: Optional[Callable] = None,
     ):
+        """``step_fn``/``eval_fn`` override the default MMVAE train/eval steps
+        so the classifier and detector paths reuse this loop (checkpointing,
+        NaN recovery, logging) with their own losses."""
         self.model = model
         self.state = state
         self.batch_fn = batch_fn
         self.eval_batch_fn = eval_batch_fn
         self.cfg = config
         self.loss_cfg = loss_config
-        self._step_fn = make_train_step(model, loss_config, donate=True)
-        self._eval_fn = make_eval_step(model, loss_config)
+        self._custom_step = step_fn is not None
+        self._step_fn = step_fn or make_train_step(model, loss_config, donate=True)
+        self._eval_fn = eval_fn or (None if step_fn else make_eval_step(model, loss_config))
         self.mesh = make_mesh() if config.use_mesh else None
         self.logger = MetricLogger(config.jsonl_path, print_every=config.log_every)
         self.history: List[Dict[str, float]] = []
@@ -144,6 +150,8 @@ class Trainer:
         return self.state
 
     def evaluate(self, it: int) -> Dict[str, float]:
+        if self._eval_fn is None:
+            return {}
         key = jax.random.PRNGKey(it)
         batch = self._prepare(self.eval_batch_fn(it))
         out = {
@@ -151,7 +159,11 @@ class Trainer:
             for k, v in self._eval_fn(self.state.params, batch, key).items()
         }
         mcfg = self.model.config
-        if mcfg.prior_category is not None and self.cfg.eval_missing_prob > 0:
+        if (
+            not self._custom_step
+            and mcfg.prior_category is not None
+            and self.cfg.eval_missing_prob > 0
+        ):
             anytime = anytime_eval(
                 self.model, self.state.params, batch, key,
                 missing_prob=self.cfg.eval_missing_prob,

@@ -92,6 +92,49 @@ class TestSyntheticLoader:
         occ = b["input_images"].mean()
         assert 0.01 < occ < 0.9
 
+    def test_image_object_loader_pascal_contract(self):
+        from anytime3d_tpu.data import SyntheticImageObjectLoader
+
+        loader = SyntheticImageObjectLoader(
+            num_samples=16, dim=16, num_classes=4, num_inst=3
+        )
+        inst, cls, sin, cos, images, voxels = loader.getNextBatch(8, imageSize=(24, 16))
+        assert images.shape == (8, 16, 24, 3)  # imageSize=(cols, rows)
+        assert voxels.shape == (8, 16, 16, 16, 1)
+        assert inst.shape == (8, 3) and cls.shape == (8, 4)
+        assert sin.shape == (8, 3) and cos.shape == (8, 3)
+        assert np.allclose(sin**2 + cos**2, 1.0, atol=1e-6)
+        assert 0.0 < images.mean() < 1.0  # projections are non-trivial
+
+    def test_multi_object_loader_contract(self):
+        from anytime3d_tpu.data import SyntheticMultiObjectLoader
+        from anytime3d_tpu.data.collate import collate_multiobject
+
+        loader = SyntheticMultiObjectLoader(
+            num_samples=32, dim=8, num_classes=4, image_size=(64, 48),
+            grid_size=(4, 3), max_objects=2,
+        )
+        images, targets, voxel_lists = loader.getNextBatch(4)
+        assert images.shape == (4, 48, 64, 3)
+        assert targets["objness"].shape == (4, 3, 4, 5, 1)
+        assert targets["bbox"].shape == (4, 3, 4, 5, 4)
+        n_obj = targets["objness"].sum()
+        assert 4 <= n_obj <= 8  # 1..2 objects per image
+        assert all(1 <= len(v) <= 2 for v in voxel_lists)
+        b = collate_multiobject(images, targets, voxel_lists, max_slots=4)
+        assert b["voxels"].shape == (4, 4, 8, 8, 8, 1)
+        assert b["voxel_slot"].max() < 4
+
+    def test_image_object_loader_azimuth_changes_image(self):
+        from anytime3d_tpu.data import SyntheticImageObjectLoader
+
+        loader = SyntheticImageObjectLoader(num_samples=4, dim=16, num_classes=2)
+        vox = loader._make(0)
+        a = loader._render(vox, 0.0, (16, 16))
+        b = loader._render(vox, 1.2, (16, 16))
+        assert a.shape == (16, 16, 3)
+        assert not np.array_equal(a, b)
+
 
 class TestModelNetLoader:
     def test_sharded_layout(self, tmp_path):
