@@ -38,6 +38,9 @@ def _encoder3d(output_dim: int) -> Encoder3DConfig:
         final_pool="average",
         act="elu",
         final_act="none",
+        # fold the 1-channel 64^3 input 2x2x2 into channels before the stem:
+        # same linear family, avoids the MXU padding a width-1 channel dim
+        stem_space_to_depth=2,
     )
 
 

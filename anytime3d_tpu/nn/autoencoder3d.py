@@ -21,6 +21,7 @@ from anytime3d_tpu.nn.blocks import (
     DeconvBlock3D,
     DenseBlock,
     activation,
+    group_norm,
 )
 
 
@@ -35,6 +36,18 @@ class Encoder3DConfig:
     final_pool: str = "average"  # 'average' | 'max' | 'none'
     act: str = "elu"
     final_act: str = "none"  # 'sigmoid' | 'none'
+    # TPU layout optimization: fold a 2x2x2 spatial block of the (typically
+    # 1-channel) input into channels before the stem conv. A k=4 s=2 stem
+    # becomes k=2 s=1 over 8 channels — same linear map family and FLOPs,
+    # but the MXU contraction no longer pads a 1-wide channel dim to full
+    # lanes. Requires stem stride divisible by the block.
+    stem_space_to_depth: int = 1
+    # Blocked head (mirror of the decoder's blocked tail): fold the input
+    # 4x4x4 into channels and run the first TWO stride-2 stages as k=2 dense
+    # convs at the 4x-coarse grid (stage 1 keeps its features as 8*C phase
+    # channels). Avoids the layout-hostile fine-grid convs entirely.
+    # Requires strides[:2] == (2, 2); overrides stem_space_to_depth.
+    head_blocked: bool = False
 
     @property
     def all_filters(self) -> Tuple[int, ...]:
@@ -52,6 +65,41 @@ class Decoder3DConfig:
     strides: Tuple[int, ...] = (1, 2, 2, 2, 2)
     act: str = "elu"
     final_act: str = "sigmoid"
+    # TPU layout optimization for the final (usually 1-channel) layer: a
+    # stride-2 transposed conv to 1 output channel leaves the MXU output
+    # dim at width 1 AND pays the zero-stuffed input-dilated lowering —
+    # measured 7.5 ms of a 10 ms decoder forward at 64^3/B=32. The
+    # pixel-shuffle form (k=2 dense conv emitting s^3*C channels at the
+    # coarse grid + depth-to-space) is the same 2-taps-per-axis linear
+    # family and runs 4.4x faster. 'transpose' keeps the classic lowering.
+    final_mode: str = "pixel_shuffle"  # 'pixel_shuffle' | 'transpose'
+    # Blocked tail: run the last TWO stride-2 stages at the coarse grid with
+    # phase channels (k=2 dense convs, 8*C then s_tot^3*C_out channels) and a
+    # single depth-to-space at the very end. Removes the two largest
+    # interleave relayouts of the decoder; requires strides[-2:] == (2, 2)
+    # and final_mode='pixel_shuffle'.
+    tail_blocked: bool = False
+
+
+def depth_to_space3d(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """(B, D, H, W, C*b^3) -> (B, D*b, H*b, W*b, C): scatter each position's
+    channel blocks into a bxbxb spatial neighbourhood (inverse of
+    ``space_to_depth3d``; channel order (bd, bh, bw, c))."""
+    B, D, H, W, Cb = x.shape
+    C = Cb // b**3
+    x = x.reshape(B, D, H, W, b, b, b, C)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(B, D * b, H * b, W * b, C)
+
+
+def space_to_depth3d(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """(B, D, H, W, C) -> (B, D/b, H/b, W/b, C*b^3): fold each bxbxb spatial
+    block into channels. Pure reshape/transpose — XLA lowers it to a relayout,
+    no FLOPs."""
+    B, D, H, W, C = x.shape
+    x = x.reshape(B, D // b, b, H // b, b, W // b, b, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(B, D // b, H // b, W // b, b * b * b * C)
 
 
 class Encoder3D(nn.Module):
@@ -64,7 +112,28 @@ class Encoder3D(nn.Module):
     def __call__(self, x):
         cfg = self.config
         filters = cfg.all_filters
-        for f, k, s in zip(filters[:-1], cfg.filter_sizes[:-1], cfg.strides[:-1]):
+        sizes, strides = list(cfg.filter_sizes), list(cfg.strides)
+        blocked = (
+            cfg.head_blocked
+            and len(filters) > 2
+            and strides[0] == 2
+            and strides[1] == 2
+        )
+        if blocked:
+            x = space_to_depth3d(x, 4)
+            x = ConvBlock3D(filters[0] * 8, 2, 1, act=cfg.act, dtype=self.dtype)(x)
+            x = ConvBlock3D(filters[1], 2, 1, act=cfg.act, dtype=self.dtype)(x)
+            filters = filters[2:]
+            sizes, strides = sizes[2:], strides[2:]
+        else:
+            b = cfg.stem_space_to_depth
+            if b > 1:
+                if strides[0] % b != 0:
+                    raise ValueError("stem_space_to_depth must divide the stem stride")
+                x = space_to_depth3d(x, b)
+                sizes[0] = max(1, -(-sizes[0] // b))  # ceil-div receptive field
+                strides[0] //= b
+        for f, k, s in zip(filters[:-1], sizes[:-1], strides[:-1]):
             x = ConvBlock3D(f, k, s, act=cfg.act, dtype=self.dtype)(x)
         # final conv: no norm, no activation (autoencoder3D.py:86-88)
         x = nn.Conv(
@@ -95,14 +164,50 @@ class Decoder3D(nn.Module):
         ch = max(cfg.filter_nums[0] // 64, 8)
         x = DenseBlock(int(np.prod(spatial)) * ch, act=cfg.act, dtype=self.dtype)(z)
         x = x.reshape((z.shape[0], *spatial, ch))
-        for f, k, s in zip(cfg.filter_nums[:-1], cfg.filter_sizes[:-1], cfg.strides[:-1]):
+        blocked = (
+            cfg.tail_blocked
+            and cfg.final_mode == "pixel_shuffle"
+            and len(cfg.filter_nums) >= 2
+            and cfg.strides[-1] == 2
+            and cfg.strides[-2] == 2
+        )
+        n_mid = len(cfg.filter_nums) - (2 if blocked else 1)
+        for f, k, s in zip(cfg.filter_nums[:n_mid], cfg.filter_sizes[:n_mid], cfg.strides[:n_mid]):
             x = DeconvBlock3D(f, k, s, act=cfg.act, dtype=self.dtype)(x)
-        x = nn.ConvTranspose(
-            cfg.filter_nums[-1],
-            (cfg.filter_sizes[-1],) * 3,
-            strides=(cfg.strides[-1],) * 3,
-            padding="SAME",
-            use_bias=False,
-            dtype=self.dtype,
-        )(x)
+        if blocked:
+            f4 = cfg.filter_nums[-2]
+            x = nn.Conv(
+                f4 * 8, (2, 2, 2), padding="SAME", use_bias=False, dtype=self.dtype
+            )(x)
+            x = group_norm(f4 * 8, self.dtype)(x)
+            x = activation(cfg.act)(x)
+            x = nn.Conv(
+                cfg.filter_nums[-1] * 64,
+                (2, 2, 2),
+                padding="SAME",
+                use_bias=False,
+                dtype=self.dtype,
+            )(x)
+            x = depth_to_space3d(x, 4)
+            return activation(cfg.final_act)(x)
+        f, k, s = cfg.filter_nums[-1], cfg.filter_sizes[-1], cfg.strides[-1]
+        if cfg.final_mode == "pixel_shuffle" and s > 1:
+            x = nn.Conv(
+                f * s**3,
+                (max(1, -(-k // s)),) * 3,
+                strides=(1,) * 3,
+                padding="SAME",
+                use_bias=False,
+                dtype=self.dtype,
+            )(x)
+            x = depth_to_space3d(x, s)
+        else:
+            x = nn.ConvTranspose(
+                f,
+                (k,) * 3,
+                strides=(s,) * 3,
+                padding="SAME",
+                use_bias=False,
+                dtype=self.dtype,
+            )(x)
         return activation(cfg.final_act)(x)

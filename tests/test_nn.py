@@ -68,6 +68,56 @@ def test_encoder3d_shapes():
     assert y.shape == (2, 16)
 
 
+def test_encoder3d_space_to_depth_stem():
+    base = dict(
+        output_dim=16, filter_nums=(8, 16), filter_sizes=(4, 3, 3), strides=(2, 2, 1),
+        final_pool="average",
+    )
+    x = jnp.ones((2, 16, 16, 16, 1))
+    for s2d in (1, 2):
+        cfg = Encoder3DConfig(**base, stem_space_to_depth=s2d)
+        model = Encoder3D(cfg)
+        params = model.init(KEY, x)["params"]
+        y = model.apply({"params": params}, x)
+        assert y.shape == (2, 16), s2d
+    # the s2d stem kernel contracts over 8 input channels with a 2^3 window
+    stem = params["ConvBlock3D_0"]["Conv_0"]["kernel"]
+    assert stem.shape[:4] == (2, 2, 2, 8)
+
+
+def test_encoder3d_blocked_head():
+    cfg = Encoder3DConfig(
+        output_dim=16, filter_nums=(8, 16), filter_sizes=(4, 4, 3), strides=(2, 2, 1),
+        final_pool="average", head_blocked=True,
+    )
+    model = Encoder3D(cfg)
+    x = jnp.ones((2, 16, 16, 16, 1))
+    params = model.init(KEY, x)["params"]
+    y = model.apply({"params": params}, x)
+    assert y.shape == (2, 16)
+    g = jax.grad(lambda p: jnp.sum(model.apply({"params": p}, x) ** 2))(params)
+    assert all(jnp.all(jnp.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_decoder3d_blocked_tail_and_pixel_shuffle():
+    import numpy as np
+
+    base = dict(
+        input_dim=8, output_shape=(16, 16, 16, 1), filter_nums=(16, 8, 1),
+        filter_sizes=(3, 4, 4), strides=(1, 2, 2),
+    )
+    z = jax.random.normal(KEY, (2, 8))
+    for mode, blocked in (("transpose", False), ("pixel_shuffle", False), ("pixel_shuffle", True)):
+        cfg = Decoder3DConfig(**base, final_mode=mode, tail_blocked=blocked)
+        model = Decoder3D(cfg)
+        params = model.init(KEY, z)["params"]
+        y = model.apply({"params": params}, z)
+        assert y.shape == (2, 16, 16, 16, 1), (mode, blocked)
+        yn = np.asarray(y)
+        assert yn.min() >= 0.0 and yn.max() <= 1.0  # sigmoid output
+        assert yn.std() > 0
+
+
 def test_decoder3d_shapes_and_range():
     cfg = Decoder3DConfig(
         input_dim=8, output_shape=(16, 16, 16, 1), filter_nums=(16, 8, 1),
