@@ -14,23 +14,36 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_batch_fn(loader, model_cfg, batch_size=32, image_size=None):
+def build_batch_fn(loader, model_cfg, batch_size=32, image_size=None, multi_scale=None,
+                   packed=False):
     """Adapt a reference-style loader dict/tuple to the train-step batch dict.
 
     Handles all three loader contracts: modelnet dict batches
     (modelnet_dataset.py:86-91), pascal 6-tuples (pascal3D.py:277-283), and
-    kitti 5-tuples (train_kitti.py:94-100)."""
+    kitti 5-tuples (train_kitti.py:94-100). ``multi_scale`` is a list of
+    (rows, cols, batch) walked on the reference's shuffled 3-iteration
+    cadence (train_pascal.py:121-124); each size bucket compiles once."""
+    from anytime3d_tpu.train.trainer import multi_scale_schedule
 
     def batch_fn(_it: int):
-        if image_size is not None:
-            b = loader.getNextBatch(batch_size, imageSize=image_size)
+        size, bs = image_size, batch_size
+        if multi_scale:
+            rows, cols, bs = multi_scale_schedule(multi_scale, _it)
+            size = (cols, rows)
+        if size is not None:
+            b = loader.getNextBatch(bs, imageSize=size)
         else:
-            b = loader.getNextBatch(batch_size)
+            b = loader.getNextBatch(bs)
         if isinstance(b, dict):  # modelnet-style
-            out = {
-                "input": jnp.asarray(b["input_images"]),
-                "target": jnp.asarray(b["input_images"]),
-            }
+            if packed:
+                from anytime3d_tpu.data.packing import pack_voxels
+
+                out = {"input_packed": jnp.asarray(pack_voxels(b["input_images"]))}
+            else:
+                out = {
+                    "input": jnp.asarray(b["input_images"]),
+                    "target": jnp.asarray(b["input_images"]),
+                }
             if model_cfg.prior_category is not None or model_cfg.category_dim:
                 out["category_onehot"] = jnp.asarray(b["class_list"])
             if model_cfg.inst_dim:
@@ -110,6 +123,11 @@ def main(argv=None):
     parser.add_argument("--mesh", action="store_true", help="shard batch over all devices")
     parser.add_argument("--image-size", type=int, default=64,
                         help="square image size for image-encoder configs")
+    parser.add_argument("--packed", action="store_true",
+                        help="bit-pack voxel batches host->device (32x less transfer)")
+    parser.add_argument("--multi-scale", default=None,
+                        help="comma list of square sizes, e.g. '48,64,80' — "
+                             "multi-scale schedule for image configs")
     parser.add_argument("--cad-path", default=None,
                         help="CAD voxel dir (KITTI configs; Pascal uses --data's CAD/)")
     parser.add_argument("--compilation-cache", default="/tmp/anytime3d_jax_cache")
@@ -132,8 +150,15 @@ def main(argv=None):
     image_size = (args.image_size, args.image_size) if image_encoder else None
     loader, eval_loader = build_loaders(args, model_cfg)
 
-    def make_loader_fn(ld):
-        return build_batch_fn(ld, model_cfg, args.batch_size, image_size)
+    schedule = None
+    if args.multi_scale and image_encoder:
+        schedule = [(int(s), int(s), args.batch_size) for s in args.multi_scale.split(",")]
+
+    def make_loader_fn(ld, sched=None):
+        return build_batch_fn(
+            ld, model_cfg, args.batch_size, image_size, sched,
+            packed=args.packed and not image_encoder,
+        )
 
     init_shape = (
         (args.batch_size, args.image_size, args.image_size, 3)
@@ -153,7 +178,7 @@ def main(argv=None):
     trainer = Trainer(
         model,
         state,
-        make_loader_fn(loader),
+        make_loader_fn(loader, schedule),
         loss_config=loss_cfg,
         eval_batch_fn=make_loader_fn(eval_loader),
         config=TrainerConfig(

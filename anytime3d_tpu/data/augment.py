@@ -39,6 +39,33 @@ def photometric_augment(rng: np.random.Generator, image: np.ndarray) -> np.ndarr
     return np.clip(img, 0, 255).astype(np.float32)
 
 
+def noisy(
+    rng: np.random.Generator, noise_type: str, image: np.ndarray
+) -> np.ndarray:
+    """Parametric noise models matching the reference's ``noisy``
+    (datasetUtils.py:15-52): 'gauss' | 's&p' | 'poisson' | 'speckle'.
+    Operates on float images in [0, 255]."""
+    img = image.astype(np.float32)
+    if noise_type == "gauss":
+        return img + rng.normal(0.0, 10.0, img.shape)
+    if noise_type == "s&p":
+        amount, s_vs_p = 0.004, 0.5
+        out = img.copy()
+        n_salt = int(np.ceil(amount * img.size * s_vs_p))
+        n_pepper = int(np.ceil(amount * img.size * (1.0 - s_vs_p)))
+        coords = tuple(rng.integers(0, d, n_salt) for d in img.shape)
+        out[coords] = 255.0
+        coords = tuple(rng.integers(0, d, n_pepper) for d in img.shape)
+        out[coords] = 0.0
+        return out
+    if noise_type == "poisson":
+        vals = 2 ** np.ceil(np.log2(len(np.unique(img.astype(np.uint8)))))
+        return rng.poisson(np.clip(img, 0, None) / 255.0 * vals) / vals * 255.0
+    if noise_type == "speckle":
+        return img + img * rng.normal(0.0, 0.1, img.shape)
+    raise ValueError(f"unknown noise type {noise_type!r}")
+
+
 def image_random_augmentation(
     rng: np.random.Generator,
     image: np.ndarray,

@@ -28,9 +28,11 @@ def _find_lib() -> Optional[ctypes.CDLL]:
     _LIB_TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     candidates = [
+        os.environ.get("ANYTIME3D_VOXELIZER_LIB", ""),  # sanitizer builds etc.
         os.path.join(here, "native", "libvoxelizer.so"),
         os.path.join(os.path.dirname(__file__), "libvoxelizer.so"),
     ]
+    candidates = [c for c in candidates if c]
     for path in candidates:
         if os.path.exists(path):
             try:

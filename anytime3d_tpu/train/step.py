@@ -111,6 +111,21 @@ def _encode_and_sample(model, cfg, params, batch, key, deterministic):
     return out
 
 
+def materialize_batch(model, batch):
+    """Unpack a bit-packed voxel batch inside jit. The static grid shape
+    comes from the model's decoder config; ``target`` defaults to the same
+    grid (voxel->voxel variants ship ONE packed copy for both roles)."""
+    if "input_packed" not in batch:
+        return batch
+    from anytime3d_tpu.data.packing import unpack_voxels
+
+    vox = unpack_voxels(batch["input_packed"], model.config.decoder.output_shape)
+    out = {k: v for k, v in batch.items() if k != "input_packed"}
+    out["input"] = vox
+    out.setdefault("target", vox)
+    return out
+
+
 def compute_losses(
     model: MultiModalVAE,
     cfg: LossConfig,
@@ -120,8 +135,12 @@ def compute_losses(
     deterministic: bool = False,
 ):
     """Returns (total_loss, metrics_dict). Batch keys: ``input``, ``target``
-    (+ ``category_onehot`` / ``inst_onehot`` for prior variants)."""
+    (+ ``category_onehot`` / ``inst_onehot`` for prior variants). Voxel
+    batches may instead carry ``input_packed`` (bit-packed uint8,
+    data/packing.py) — 32x less host->device traffic; unpacked here inside
+    jit where XLA fuses the shift-and-mask into the consumer."""
     mcfg = model.config
+    batch = materialize_batch(model, batch)
     fwd = _encode_and_sample(model, cfg, params, batch, key, deterministic)
     enc, pred = fwd["enc"], fwd["pred"]
     # losses always in fp32: the voxel BCE sums ~262k log terms per sample,

@@ -1,0 +1,23 @@
+"""Drive the native voxelizer + NMS under an ASan/TSan build (no JAX import).
+
+Usage: LD_PRELOAD=$(g++ -print-file-name=libasan.so) \
+       ANYTIME3D_VOXELIZER_LIB=native/libvoxelizer_asan.so python native/sanitize_check.py
+"""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+from anytime3d_tpu.data.voxelize import native_available, voxelize, nms_native
+
+assert native_available(), "native lib not loaded"
+rng = np.random.default_rng(0)
+# a couple of meshes incl. degenerate triangles
+for n in (4, 64):
+    verts = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    tris = rng.integers(0, n, (2 * n, 3)).astype(np.int32)
+    vox = voxelize(verts, tris, dim=32, solid=True)
+    assert vox.shape == (32, 32, 32)
+boxes = rng.uniform(0, 1, (200, 5)).astype(np.float32)
+boxes[:, 2:4] += boxes[:, 0:2]
+keep = nms_native(boxes, 0.5)
+assert keep.dtype == np.bool_ and keep.shape == (200,)
+print("sanitize_check ok")

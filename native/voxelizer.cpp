@@ -117,7 +117,11 @@ void voxelize_mesh(const float* verts, int64_t n_verts, const int32_t* tris,
             for (int z = z0; z <= z1; ++z) {
               Vec3 c = {x + 0.5f, y + 0.5f, z + 0.5f};
               if (tri_box_overlap(c, h, v))
-                out[((int64_t)x * dim + y) * dim + z] = 1;  // benign race: same value
+                // triangles overlap in space, so two threads can mark the
+                // same voxel; a relaxed atomic store keeps the same-value
+                // write defined (plain stores here are a TSan-reported race)
+                __atomic_store_n(&out[((int64_t)x * dim + y) * dim + z],
+                                 (uint8_t)1, __ATOMIC_RELAXED);
             }
       }
     };

@@ -76,6 +76,21 @@ class TestAugment:
         assert np.allclose(b, [0.25, 0.25, 0.75, 0.75])
 
 
+class TestNoisy:
+    def test_all_noise_types(self):
+        from anytime3d_tpu.data.augment import noisy
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 255, (16, 16, 3)).astype(np.float32)
+        for t in ("gauss", "s&p", "poisson", "speckle"):
+            out = noisy(rng, t, img)
+            assert out.shape == img.shape, t
+            assert np.all(np.isfinite(out)), t
+            assert not np.array_equal(out, img), t
+        with pytest.raises(ValueError):
+            noisy(rng, "nope", img)
+
+
 class TestSyntheticLoader:
     def test_batches_and_epochs(self):
         loader = SyntheticVoxelLoader(num_samples=64, dim=16, num_classes=4)

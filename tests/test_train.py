@@ -107,6 +107,24 @@ class TestVoxelVAEVariants:
             total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
             assert total > 0, f"no gradient into {sub}"
 
+    def test_packed_batch_matches_unpacked(self):
+        from anytime3d_tpu.data.packing import pack_voxels
+        from anytime3d_tpu.train.step import compute_losses
+
+        model = MultiModalVAE(tiny_voxel_cfg(variational=True, with_prior=True))
+        batch = synth_batch()
+        state = create_train_state(model, batch["input"], jax.random.PRNGKey(0))
+        packed = {
+            "input_packed": jnp.asarray(pack_voxels(np.asarray(batch["input"]))),
+            "category_onehot": batch["category_onehot"],
+        }
+        key = jax.random.PRNGKey(7)
+        t1, m1 = compute_losses(model, LossConfig(), state.params, batch, key)
+        t2, m2 = compute_losses(model, LossConfig(), state.params, packed, key)
+        assert np.allclose(float(t1), float(t2), rtol=1e-6)
+        for k in m1:
+            assert np.allclose(float(m1[k]), float(m2[k]), rtol=1e-5), k
+
     def test_eval_step(self):
         model = MultiModalVAE(tiny_voxel_cfg(variational=True))
         batch = synth_batch()
