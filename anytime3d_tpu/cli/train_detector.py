@@ -102,6 +102,11 @@ def main(argv=None):
     trainer.run(epoch_fn=lambda: loader.epoch)
     print("\ndone; final metrics:", {k: round(v, 4) for k, v in trainer.logger.means().items()})
 
+    from anytime3d_tpu.evaluation.detection import evaluate_detector
+
+    det = evaluate_detector(model, trainer.state.params, batch_fn, num_batches=2)
+    print("detection eval:", {k: round(v, 4) for k, v in det.items()})
+
 
 if __name__ == "__main__":
     main()

@@ -11,8 +11,11 @@ from anytime3d_tpu.evaluation.protocols import (
     evaluate_epoch,
 )
 from anytime3d_tpu.evaluation.dump import dump_reconstructions
+from anytime3d_tpu.evaluation.detection import evaluate_detector, grid_targets_to_boxes
 
 __all__ = [
+    "evaluate_detector",
+    "grid_targets_to_boxes",
     "missing_rate_sweep",
     "pr_curve",
     "category_vectors",

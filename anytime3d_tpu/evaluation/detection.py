@@ -1,0 +1,115 @@
+"""Multi-object detection evaluation: box P/R + orientation error.
+
+The reference ships the multi-object path as inference-only demo code
+(nolbo_test.py:81-188 draws boxes, no metrics); this protocol closes the
+loop for the detector *training* path this framework adds: greedy
+score-ordered matching of predicted boxes to ground-truth grid targets at an
+IoU threshold, reported as detection precision/recall plus the mean absolute
+orientation error of matched pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import numpy as np
+
+from anytime3d_tpu.models.detector import DetectorReconstructor
+
+
+def grid_targets_to_boxes(objness: np.ndarray, bbox: np.ndarray):
+    """Decode (gh, gw, P, ·) grid targets back to normalized [x0, y0, x1, y1]
+    boxes (inverse of data/pascal3d.py::build_grid_targets).
+
+    bbox layout is (h, w, x, y) cell-relative, matching the training target.
+    Returns (boxes (N, 4), cell_indices (N, 3)).
+    """
+    gh, gw, p = objness.shape[:3]
+    out, idx = [], []
+    for r in range(gh):
+        for c in range(gw):
+            for k in range(p):
+                if objness[r, c, k, 0] <= 0.5:
+                    continue
+                h, w, x, y = bbox[r, c, k]
+                cx, cy = (c + x) / gw, (r + y) / gh
+                out.append([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2])
+                idx.append([r, c, k])
+    return np.asarray(out, np.float32).reshape(-1, 4), np.asarray(idx, np.int32).reshape(-1, 3)
+
+
+def _iou(a: np.ndarray, b: np.ndarray) -> float:
+    x0, y0 = max(a[0], b[0]), max(a[1], b[1])
+    x1, y1 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0.0, x1 - x0) * max(0.0, y1 - y0)
+    area = (
+        (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    )
+    return inter / area if area > 0 else 0.0
+
+
+def evaluate_detector(
+    model: DetectorReconstructor,
+    params,
+    batch_fn: Callable[[int], Dict],
+    num_batches: int = 8,
+    obj_thresh: float = 0.5,
+    iou_thresh: float = 0.5,
+) -> Dict[str, float]:
+    """Detection precision/recall at ``iou_thresh`` + matched orientation MAE.
+
+    ``batch_fn`` yields collated multi-object batches (images + grid
+    targets, data/collate.py). Detections come from the jitted
+    ``DetectorReconstructor.detect`` path, one image at a time (B=1 contract,
+    nolbo_test.py:86).
+    """
+    detect = jax.jit(
+        lambda p, img: model.apply({"params": p}, img, method=DetectorReconstructor.detect)
+    )
+    tp = fp = fn_ = 0
+    ori_err, n_matched = 0.0, 0
+    for b in range(num_batches):
+        batch = batch_fn(b)
+        images = np.asarray(batch["images"])
+        for i in range(images.shape[0]):
+            det = detect(params, images[i : i + 1])
+            valid = np.asarray(det["valid"])
+            boxes = np.asarray(det["bbox2d"])[valid]
+            sin_p = np.asarray(det["ori_sin"])[valid]
+            cos_p = np.asarray(det["ori_cos"])[valid]
+            order = np.argsort(-boxes[:, 4]) if len(boxes) else []
+
+            gt_boxes, gt_idx = grid_targets_to_boxes(
+                np.asarray(batch["objness"][i]), np.asarray(batch["bbox"][i])
+            )
+            taken = np.zeros(len(gt_boxes), bool)
+            for j in order:
+                best, best_iou = -1, iou_thresh
+                for g in range(len(gt_boxes)):
+                    if taken[g]:
+                        continue
+                    iou = _iou(boxes[j, :4], gt_boxes[g])
+                    if iou >= best_iou:
+                        best, best_iou = g, iou
+                if best >= 0:
+                    taken[best] = True
+                    tp += 1
+                    r, c, k = gt_idx[best]
+                    gs = np.asarray(batch["sin"][i][r, c, k])
+                    gc = np.asarray(batch["cos"][i][r, c, k])
+                    ang = np.arctan2(sin_p[j], cos_p[j]) - np.arctan2(gs, gc)
+                    ang = np.abs(np.arctan2(np.sin(ang), np.cos(ang)))
+                    ori_err += float(ang.mean())
+                    n_matched += 1
+                else:
+                    fp += 1
+            fn_ += int((~taken).sum())
+    return {
+        "det_precision": tp / max(tp + fp, 1),
+        "det_recall": tp / max(tp + fn_, 1),
+        "ori_mae_rad": ori_err / max(n_matched, 1),
+        "num_tp": float(tp),
+        "num_fp": float(fp),
+        "num_fn": float(fn_),
+    }

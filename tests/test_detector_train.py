@@ -70,6 +70,35 @@ class TestDetectorTraining:
                 first = float(m["loss_total"])
         assert float(m["loss_total"]) < first
 
+    def test_detection_eval_protocol(self):
+        from anytime3d_tpu.evaluation.detection import (
+            evaluate_detector,
+            grid_targets_to_boxes,
+        )
+
+        # grid -> boxes round trip
+        objness = np.asarray(self.batch["objness"][0])
+        bbox = np.asarray(self.batch["bbox"][0])
+        boxes, idx = grid_targets_to_boxes(objness, bbox)
+        assert boxes.shape == (1, 4) and idx.tolist() == [[0, 1, 0]]
+        # cell (0,1) with (h=0.4, w=0.3, x=0.5, y=0.5) on a 2x2 grid
+        assert np.allclose(boxes[0], [0.6, 0.05, 0.9, 0.45], atol=1e-5)
+
+        step = make_detector_train_step(
+            self.model, DetectorLossConfig(shape_decode_per_image=0), donate=False
+        )
+        state = self.state
+        for i in range(30):
+            state, _ = step(state, self.batch, jax.random.PRNGKey(i))
+        metrics = evaluate_detector(
+            self.model, state.params, lambda _i: self.batch, num_batches=1,
+            obj_thresh=0.3,
+        )
+        for k in ("det_precision", "det_recall", "ori_mae_rad"):
+            assert k in metrics and np.isfinite(metrics[k]), k
+        assert 0.0 <= metrics["det_precision"] <= 1.0
+        assert 0.0 <= metrics["det_recall"] <= 1.0
+
     def test_objness_learns_target_cell(self):
         step = make_detector_train_step(
             self.model, DetectorLossConfig(shape_decode_per_image=0), donate=False
