@@ -55,9 +55,13 @@ def _encoder3d(output_dim: int) -> Encoder3DConfig:
 # ModelNet voxel->voxel family (40 categories, z=64)
 # --------------------------------------------------------------------------
 
-def modelnet_nolbo(z_dim: int = 64, category_dim: int = 40) -> MMVAEConfig:
+def modelnet_nolbo(
+    z_dim: int = 64, category_dim: int = 40, latent_dropout: bool = False
+) -> MMVAEConfig:
     """NOLBO with class prior — nolboSingleObject_modelnet_category_only
-    (nolbo.py:1594-1787; config train_modelnet_category.py:107-139)."""
+    (nolbo.py:1594-1787; config train_modelnet_category.py:107-139).
+    ``latent_dropout=True`` is the train_modelnet_category_dr.py variant
+    (dropout flag on fit, nolbo.py:1619,1646-1648)."""
     return MMVAEConfig(
         z_category_dim=z_dim,
         z_inst_dim=0,
@@ -69,6 +73,7 @@ def modelnet_nolbo(z_dim: int = 64, category_dim: int = 40) -> MMVAEConfig:
             input_dim=category_dim, unit_nums=(32, z_dim), const_log_var=0.0
         ),
         variational=True,
+        latent_dropout=latent_dropout,
     )
 
 
@@ -214,6 +219,7 @@ def kitti_inst_only(z_dim: int = 16, inst_dim: int = 10, backbone: str = "darkne
 
 REGISTRY = {
     "modelnet_nolbo": modelnet_nolbo,
+    "modelnet_nolbo_dr": lambda: modelnet_nolbo(latent_dropout=True),
     "modelnet_vae": modelnet_vae,
     "modelnet_vae_dr": lambda: modelnet_vae(latent_dropout=True),
     "modelnet_ae": modelnet_ae,
