@@ -130,6 +130,10 @@ def main(argv=None):
                              "multi-scale schedule for image configs")
     parser.add_argument("--cad-path", default=None,
                         help="CAD voxel dir (KITTI configs; Pascal uses --data's CAD/)")
+    parser.add_argument("--swap-splits", action="store_true",
+                        help="train on the eval split and eval on train — the "
+                             "reference's train_pascal{,_AE,_VAE}_test.py variants "
+                             "(train_pascal_test.py:129-130)")
     parser.add_argument("--compilation-cache", default="/tmp/anytime3d_jax_cache")
     args = parser.parse_args(argv)
 
@@ -149,6 +153,8 @@ def main(argv=None):
     image_encoder = model_cfg.encoder == "image"
     image_size = (args.image_size, args.image_size) if image_encoder else None
     loader, eval_loader = build_loaders(args, model_cfg)
+    if args.swap_splits:
+        loader, eval_loader = eval_loader, loader
 
     schedule = None
     if args.multi_scale and image_encoder:
