@@ -36,9 +36,20 @@ def build_batch_fn(loader, model_cfg, batch_size=32, image_size=None, multi_scal
             b = loader.getNextBatch(bs)
         if isinstance(b, dict):  # modelnet-style
             if packed:
-                from anytime3d_tpu.data.packing import pack_voxels
+                from anytime3d_tpu.data.packing import pack_voxels, pack_voxels_blocked
+                from anytime3d_tpu.models.mmvae import blocked_io_block
 
-                out = {"input_packed": jnp.asarray(pack_voxels(b["input_images"]))}
+                block = blocked_io_block(model_cfg)
+                if block is not None:
+                    # bits pre-ordered in the coarse layout: the device-side
+                    # unpack lands directly where the blocked encoder reads
+                    out = {
+                        "input_packed_blocked": jnp.asarray(
+                            pack_voxels_blocked(b["input_images"], block)
+                        )
+                    }
+                else:
+                    out = {"input_packed": jnp.asarray(pack_voxels(b["input_images"]))}
             else:
                 out = {
                     "input": jnp.asarray(b["input_images"]),

@@ -94,6 +94,26 @@ jax.tree_util.register_dataclass(
 )
 
 
+def blocked_io_block(cfg: MMVAEConfig) -> Optional[int]:
+    """Block size (4) when the voxel round-trip of ``cfg`` can stay in the
+    coarse s2d/d2s layout end-to-end, else None (see
+    MultiModalVAE.blocked_io_block)."""
+    from anytime3d_tpu.nn.autoencoder3d import (
+        decoder_tail_blocked_active,
+        encoder_head_blocked_active,
+    )
+
+    if cfg.encoder != "voxel" or cfg.encoder3d is None:
+        return None
+    if not encoder_head_blocked_active(cfg.encoder3d):
+        return None
+    if not decoder_tail_blocked_active(cfg.decoder):
+        return None
+    if any(s % 4 for s in cfg.decoder.output_shape[:-1]):
+        return None
+    return 4
+
+
 class MultiModalVAE(nn.Module):
     """Multi-modal VAE with a shared Gaussian latent across image / voxel /
     label modalities. Submodule names (``backbone``, ``head``, ``encoder3d``,
@@ -127,7 +147,15 @@ class MultiModalVAE(nn.Module):
             self.prior_inst = PriorNet(cfg.prior_inst, dtype=self.dtype)
 
     # ------------------------------------------------------------------ encode
-    def encode(self, x) -> EncoderOutput:
+    @property
+    def blocked_io_block(self) -> Optional[int]:
+        """Block size (4) when the voxel round-trip can stay in the coarse
+        s2d/d2s layout end-to-end (blocked-head encoder + blocked-tail
+        decoder on the same grid), else None. Used by the train step to skip
+        every fine-grid relayout — see train/step.py."""
+        return blocked_io_block(self.config)
+
+    def encode(self, x, blocked_input: bool = False) -> EncoderOutput:
         """Image or voxel input -> posterior blocks.
 
         Channel layout of the flat encoder output matches the reference
@@ -142,7 +170,7 @@ class MultiModalVAE(nn.Module):
                 feats = feats[-1]  # multi-output backbones use the last map
             out = self.head(feats)
         else:
-            out = self.encoder3d(x)
+            out = self.encoder3d(x, blocked_input=blocked_input)
 
         clip = cfg.log_var_clip
         if not cfg.variational:
@@ -164,8 +192,8 @@ class MultiModalVAE(nn.Module):
         return EncoderOutput(None, None, mean_i, lv_i)
 
     # ------------------------------------------------------------------ decode
-    def decode(self, z):
-        return self.decoder(z)
+    def decode(self, z, blocked_output: bool = False):
+        return self.decoder(z, blocked_output=blocked_output)
 
     # ------------------------------------------------------------------ priors
     def priors_category(self, category_onehot, deterministic: bool = True):

@@ -81,6 +81,27 @@ class Decoder3DConfig:
     tail_blocked: bool = False
 
 
+def encoder_head_blocked_active(cfg: "Encoder3DConfig") -> bool:
+    """True when Encoder3D will take the blocked-head path (s2d(4) stem)."""
+    return (
+        cfg.head_blocked
+        and len(cfg.all_filters) > 2
+        and cfg.strides[0] == 2
+        and cfg.strides[1] == 2
+    )
+
+
+def decoder_tail_blocked_active(cfg: "Decoder3DConfig") -> bool:
+    """True when Decoder3D will take the blocked-tail path (d2s(4) final)."""
+    return (
+        cfg.tail_blocked
+        and cfg.final_mode == "pixel_shuffle"
+        and len(cfg.filter_nums) >= 2
+        and cfg.strides[-1] == 2
+        and cfg.strides[-2] == 2
+    )
+
+
 def depth_to_space3d(x: jnp.ndarray, b: int) -> jnp.ndarray:
     """(B, D, H, W, C*b^3) -> (B, D*b, H*b, W*b, C): scatter each position's
     channel blocks into a bxbxb spatial neighbourhood (inverse of
@@ -109,18 +130,21 @@ class Encoder3D(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, blocked_input: bool = False):
+        """``blocked_input=True`` means ``x`` is already in the s2d(4) coarse
+        layout (B, D/4, H/4, W/4, 64*C) — the relayout is skipped. Only valid
+        on the blocked-head path; lets the train step keep the whole voxel
+        round-trip at the coarse layout (the fine 64^3x1 grid, whose 1-wide
+        channel dim lane-pads 128x on TPU, is never materialized)."""
         cfg = self.config
         filters = cfg.all_filters
         sizes, strides = list(cfg.filter_sizes), list(cfg.strides)
-        blocked = (
-            cfg.head_blocked
-            and len(filters) > 2
-            and strides[0] == 2
-            and strides[1] == 2
-        )
+        blocked = encoder_head_blocked_active(cfg)
+        if blocked_input and not blocked:
+            raise ValueError("blocked_input requires the blocked-head layout")
         if blocked:
-            x = space_to_depth3d(x, 4)
+            if not blocked_input:
+                x = space_to_depth3d(x, 4)
             x = ConvBlock3D(filters[0] * 8, 2, 1, act=cfg.act, dtype=self.dtype)(x)
             x = ConvBlock3D(filters[1], 2, 1, act=cfg.act, dtype=self.dtype)(x)
             filters = filters[2:]
@@ -158,19 +182,20 @@ class Decoder3D(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, z):
+    def __call__(self, z, blocked_output: bool = False):
+        """``blocked_output=True`` returns the occupancy grid in the d2s(4)
+        coarse layout (B, D/4, H/4, W/4, 64*C) with the final activation
+        already applied — elementwise-identical to d2s(4) of the normal
+        output. Only valid on the blocked-tail path; the consumer (loss,
+        packing) must use the same layout."""
         cfg = self.config
         spatial = np.asarray(cfg.output_shape[:-1]) // int(np.prod(cfg.strides))
         ch = max(cfg.filter_nums[0] // 64, 8)
         x = DenseBlock(int(np.prod(spatial)) * ch, act=cfg.act, dtype=self.dtype)(z)
         x = x.reshape((z.shape[0], *spatial, ch))
-        blocked = (
-            cfg.tail_blocked
-            and cfg.final_mode == "pixel_shuffle"
-            and len(cfg.filter_nums) >= 2
-            and cfg.strides[-1] == 2
-            and cfg.strides[-2] == 2
-        )
+        blocked = decoder_tail_blocked_active(cfg)
+        if blocked_output and not blocked:
+            raise ValueError("blocked_output requires the blocked-tail layout")
         n_mid = len(cfg.filter_nums) - (2 if blocked else 1)
         for f, k, s in zip(cfg.filter_nums[:n_mid], cfg.filter_sizes[:n_mid], cfg.strides[:n_mid]):
             x = DeconvBlock3D(f, k, s, act=cfg.act, dtype=self.dtype)(x)
@@ -188,6 +213,8 @@ class Decoder3D(nn.Module):
                 use_bias=False,
                 dtype=self.dtype,
             )(x)
+            if blocked_output:
+                return activation(cfg.final_act)(x)
             x = depth_to_space3d(x, 4)
             return activation(cfg.final_act)(x)
         f, k, s = cfg.filter_nums[-1], cfg.filter_sizes[-1], cfg.strides[-1]

@@ -38,15 +38,26 @@ class LossConfig:
     l2_weight: float = 5e-4
 
 
-def _encode_and_sample(model, cfg, params, batch, key, deterministic):
-    """Shared forward: priors -> posterior -> z draw -> decoder input."""
+def _encode_and_sample(model, cfg, params, batch, key, deterministic, blocked=False):
+    """Shared forward: priors -> posterior -> z draw -> decoder input.
+
+    ``blocked=True``: batch["input"] is in the s2d(4) coarse layout and the
+    decoder emits the matching d2s(4)-pending layout — the fine 64^3x1 grid
+    (lane-padded 128x on TPU) is never materialized in the step.
+    """
     mcfg = model.config
     k_cat, k_inst, k_mix, k_drop, k_dropout_rng = jax.random.split(key, 5)
     rngs = {"dropout": k_dropout_rng}
     x = batch["input"]
 
     out: Dict[str, Any] = {}
-    enc = model.apply({"params": params}, x, method=MultiModalVAE.encode, rngs=rngs)
+    enc = model.apply(
+        {"params": params},
+        x,
+        blocked_input=blocked,
+        method=MultiModalVAE.encode,
+        rngs=rngs,
+    )
     out["enc"] = enc
 
     # ---- label-conditioned priors (NOLBO variants)
@@ -107,23 +118,62 @@ def _encode_and_sample(model, cfg, params, batch, key, deterministic):
         z = jnp.where(take_prior, z_prior, z)
 
     out["z"] = z
-    out["pred"] = model.apply({"params": params}, z, method=MultiModalVAE.decode, rngs=rngs)
+    out["pred"] = model.apply(
+        {"params": params},
+        z,
+        blocked_output=blocked,
+        method=MultiModalVAE.decode,
+        rngs=rngs,
+    )
     return out
 
 
 def materialize_batch(model, batch):
-    """Unpack a bit-packed voxel batch inside jit. The static grid shape
-    comes from the model's decoder config; ``target`` defaults to the same
-    grid (voxel->voxel variants ship ONE packed copy for both roles)."""
-    if "input_packed" not in batch:
-        return batch
-    from anytime3d_tpu.data.packing import unpack_voxels
+    """Unpack/relayout a voxel batch inside jit; returns ``(batch, blocked)``.
 
-    vox = unpack_voxels(batch["input_packed"], model.config.decoder.output_shape)
-    out = {k: v for k, v in batch.items() if k != "input_packed"}
-    out["input"] = vox
-    out.setdefault("target", vox)
-    return out
+    The static grid shape comes from the model's decoder config; ``target``
+    defaults to the same grid (voxel->voxel variants ship ONE packed copy for
+    both roles). When the model supports blocked IO (blocked-head encoder +
+    blocked-tail decoder), input/target are produced in the s2d(4) coarse
+    layout: ``input_packed_blocked`` batches (bits pre-ordered on the host,
+    data/packing.py::pack_voxels_blocked) unpack straight into it with zero
+    relayout; dense or linearly-packed batches pay one s2d relayout. The
+    shape/focal losses and TP/FP/FN are sums of elementwise terms, so the
+    layout permutation leaves every metric unchanged."""
+    from anytime3d_tpu.data.packing import unpack_voxels, unpack_voxels_blocked
+    from anytime3d_tpu.nn.autoencoder3d import space_to_depth3d
+
+    block = getattr(model, "blocked_io_block", None)
+    grid = model.config.decoder.output_shape
+    if "input_packed_blocked" in batch:
+        if block is None:
+            raise ValueError(
+                "input_packed_blocked requires a blocked-IO model "
+                "(blocked-head encoder + blocked-tail decoder)"
+            )
+        vox = unpack_voxels_blocked(batch["input_packed_blocked"], grid, block)
+        out = {k: v for k, v in batch.items() if k != "input_packed_blocked"}
+        out["input"] = vox
+        out.setdefault("target", vox)
+        return out, True
+    if "input_packed" in batch:
+        vox = unpack_voxels(batch["input_packed"], grid)
+        if block is not None:
+            vox = space_to_depth3d(vox, block)
+        out = {k: v for k, v in batch.items() if k != "input_packed"}
+        out["input"] = vox
+        out.setdefault("target", vox)
+        return out, block is not None
+    if block is not None:
+        out = dict(batch)
+        out["input"] = space_to_depth3d(batch["input"], block)
+        tgt = batch.get("target")
+        if tgt is None or tgt is batch["input"]:
+            out["target"] = out["input"]
+        else:
+            out["target"] = space_to_depth3d(tgt, block)
+        return out, True
+    return batch, False
 
 
 def compute_losses(
@@ -140,8 +190,10 @@ def compute_losses(
     data/packing.py) — 32x less host->device traffic; unpacked here inside
     jit where XLA fuses the shift-and-mask into the consumer."""
     mcfg = model.config
-    batch = materialize_batch(model, batch)
-    fwd = _encode_and_sample(model, cfg, params, batch, key, deterministic)
+    batch, blocked = materialize_batch(model, batch)
+    fwd = _encode_and_sample(
+        model, cfg, params, batch, key, deterministic, blocked=blocked
+    )
     enc, pred = fwd["enc"], fwd["pred"]
     # losses always in fp32: the voxel BCE sums ~262k log terms per sample,
     # which loses mass in bfloat16 even when the model computes in bf16

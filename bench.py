@@ -29,6 +29,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from anytime3d_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from anytime3d_tpu.models import configs
     from anytime3d_tpu.models.mmvae import MultiModalVAE
     from anytime3d_tpu.train import LossConfig, create_train_state, make_train_step
@@ -39,13 +43,17 @@ def main():
     rng = np.random.default_rng(0)
     vox = (rng.uniform(size=(batch_size, 64, 64, 64, 1)) > 0.7).astype(np.float32)
     labels = np.eye(40, dtype=np.float32)[rng.integers(0, 40, batch_size)]
+    # production transfer path (cli/train.py): bit-packed in the blocked
+    # coarse-layout order — 32x less host->device traffic, zero device
+    # relayout (train/step.py::materialize_batch)
+    from anytime3d_tpu.data.packing import pack_voxels_blocked
+
     batch = {
-        "input": jnp.asarray(vox),
-        "target": jnp.asarray(vox),
+        "input_packed_blocked": jnp.asarray(pack_voxels_blocked(vox)),
         "category_onehot": jnp.asarray(labels),
     }
 
-    state = create_train_state(model, batch["input"], jax.random.PRNGKey(0))
+    state = create_train_state(model, jnp.asarray(vox), jax.random.PRNGKey(0))
     step = make_train_step(model, LossConfig(), donate=True)
 
     # warmup / compile. NOTE: on the axon-tunneled platform
