@@ -1,31 +1,35 @@
-"""Pallas TPU kernel: fused 2x2x2 stride-1 3D convolution.
+"""Pallas TPU kernel (EXPERIMENTAL, off by default): fused 2x2x2 s=1 3D conv.
 
 The blocked encoder/decoder layouts (nn/autoencoder3d.py) turn every
 stride-2 stage of the reference's 64^3 stacks (src/net_core/autoencoder3D.py:
 72-139) into k=2 s=1 SAME convs over a 16^3 grid with wide channels — the
-four heaviest matmuls of the flagship step. XLA's generic conv lowering runs
-them at 40-60%% of the MXU roofline (measured on v5e, B=32 bf16); this kernel
-recovers the gap by keeping the whole per-sample activation resident in VMEM
-and expressing the 8 kernel taps as shifted row-range matmuls:
+four heaviest matmuls of the flagship step. This kernel expresses the 8 taps
+as shifted full-row matmuls over the flattened per-sample grid:
 
     flatten x[b] to rows m = (d*H + h)*W + w  ->  X: [S, C], S = D*H*W
     tap (dz,dy,dx), flat offset f = dz*H*W + dy*W + dx:
-        y[m] += mask(m) * X[m + f] @ W[dz,dy,dx]      for m in [0, S - f)
+        y[m] += mask(m) * X[m + f] @ W[dz,dy,dx]
 
-SAME padding for an even kernel pads (lo=0, hi=1) per axis, so every tap is a
-*forward* shift: the d-boundary is exactly the row range [0, S-f) and the
-h/w boundaries are a per-output-row mask computed from iota — no padded
-scatter, no interleaved relayout, no zero-stuffing. Two strategies:
+Two strategies: ``im2col`` (8C <= 1024: build G = [S, 8C] in VMEM scratch,
+one matmul) and ``matmul8`` (wide C: 8 shifted matmuls into an f32 VMEM
+accumulator). Backward stays on XLA: dx is the mirrored k=2 conv with
+padding (1,0); dw is 8 shifted contractions.
 
-- ``im2col`` (8C <= 1024): build G = [S, 8C] in VMEM scratch, one matmul.
-- ``matmul8`` (wide C): 8 shifted [S-f, C] @ [C, Nt] matmuls into an f32
-  VMEM accumulator.
+STATUS (measured v5e, 2026-08-19): the current Mosaic toolchain cannot lower
+any formulation of the row shift — odd-size second-to-last-dim slices are
+rejected ("divisible by 8 and 128"), ``pltpu.roll`` on the sublane axis
+fails (`tpu.dynamic_rotate` dim 0 unsupported for [4096, 512] bf16), and
+odd-offset/aligned-size windows into VMEM scratch are rejected too. The
+kernel therefore runs only in interpreter mode (tests) or behind
+``ANYTIME3D_CONVK2_PALLAS=1``; ``conv_k2`` defaults to the XLA conv.
 
-Backward stays on XLA (measured at roofline already): dx is the mirrored
-k=2 conv with padding (1,0); dw is 8 shifted contractions.
-
-Off-TPU the kernel runs in interpreter mode (tests) — call sites gate on
-platform and fall back to ``conv_k2_xla``.
+The XLA default is not a cop-out — measured alternatives all LOSE to the
+native conv lowering at the flagship shapes (B=32 bf16, isolated jits):
+conv 1.7-2.3 ms/stage (35-68 TF/s) vs XLA-im2col-matmul 2.4-5.7 ms vs
+8-shifted-matmuls 3.7-7.2 ms (benchmarks/k2_forms.py). In-graph the same
+convs run ~2x faster still (whole encoder fwd = 3.4 ms for ~325 GFLOP,
+~96 TF/s): the isolated numbers pay boundary relayouts that XLA elides once
+the conv sits between GroupNorm/elementwise producers and consumers.
 """
 
 from __future__ import annotations
@@ -52,57 +56,62 @@ def conv_k2_xla(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _tap_mask(M: int, W: int, H: int, dy: int, dx: int, dtype) -> jnp.ndarray:
-    """[M, 1] mask over output rows: zero where the (dy, dx) tap would read
-    across the h/w boundary (the d boundary is the row range itself)."""
-    m = lax.broadcasted_iota(jnp.int32, (M, 1), 0)
-    ok = ((m % W) + dx < W) & (((m // W) % H) + dy < H)
-    return ok.astype(dtype)
+def _tap_operand(x_ref, S, D, H, W, dz, dy, dx):
+    """Full-row [S, C] operand for one tap: x shifted forward by the tap's
+    flat offset (``pltpu.roll`` — Mosaic rejects odd-size slices, a sublane
+    rotate it lowers natively) with boundary rows masked to zero. All three
+    boundaries (d via the roll wrap, h/w via phase) live in one iota mask."""
+    f = dz * H * W + dy * W + dx
+    op = x_ref[0, :, :]
+    if f:
+        op = pltpu.roll(op, S - f, 0)  # op[m] = x[m + f] for valid rows
+    if dz or dy or dx:
+        m = lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        ok = ((m % W) + dx < W) & (((m // W) % H) + dy < H) & ((m // (H * W)) + dz < D)
+        op = op * ok.astype(op.dtype)
+    return op
 
 
-def _kernel_matmul8(x_ref, w_ref, out_ref, acc_ref, *, S, H, W, out_dtype):
+def _kernel_matmul8(x_ref, w_ref, out_ref, acc_ref, *, S, D, H, W, out_dtype):
     """x_ref [1,S,C]; w_ref [8,C,Nt]; out_ref [1,S,Nt]; acc f32 [S,Nt]."""
-    HW = H * W
     for o, (dz, dy, dx) in enumerate(TAPS):
-        f = dz * HW + dy * W + dx
-        M = S - f
-        op = x_ref[0, f:S, :]
-        if dy or dx:
-            op = op * _tap_mask(M, W, H, dy, dx, op.dtype)
+        op = _tap_operand(x_ref, S, D, H, W, dz, dy, dx)
         part = jnp.dot(op, w_ref[o], preferred_element_type=jnp.float32)
-        if o == 0:  # tap (0,0,0): f == 0, initializes every row
+        if o == 0:  # tap (0,0,0) initializes every row
             acc_ref[:, :] = part
         else:
-            acc_ref[0:M, :] = acc_ref[0:M, :] + part
+            acc_ref[:, :] = acc_ref[:, :] + part
     out_ref[0, :, :] = acc_ref[:, :].astype(out_dtype)
 
 
-def _kernel_im2col(x_ref, w_ref, out_ref, g_ref, *, S, H, W, out_dtype):
+def _kernel_im2col(x_ref, w_ref, out_ref, g_ref, *, S, D, H, W, out_dtype):
     """x_ref [1,S,C]; w_ref [8C,Nt]; out_ref [1,S,Nt]; g scratch [S,8C]."""
-    HW = H * W
     C = x_ref.shape[-1]
     for o, (dz, dy, dx) in enumerate(TAPS):
-        f = dz * HW + dy * W + dx
-        M = S - f
-        op = x_ref[0, f:S, :]
-        if dy or dx:
-            op = op * _tap_mask(M, W, H, dy, dx, op.dtype)
-        g_ref[0:M, o * C : (o + 1) * C] = op
-        if f:
-            g_ref[M:S, o * C : (o + 1) * C] = jnp.zeros((f, C), op.dtype)
+        g_ref[:, o * C : (o + 1) * C] = _tap_operand(x_ref, S, D, H, W, dz, dy, dx)
     out_ref[0, :, :] = jnp.dot(
         g_ref[:, :], w_ref[:, :], preferred_element_type=jnp.float32
     ).astype(out_dtype)
 
 
 def _pick_n_tile(S: int, C: int, N: int, itemsize: int, im2col: bool) -> int:
-    """Largest divisor tile of N keeping the VMEM working set under ~12 MB."""
-    budget = 12 * 1024 * 1024
-    fixed = S * C * itemsize + (S * 8 * C * itemsize if im2col else 0)
+    """Largest divisor tile of N keeping the scoped-VMEM working set safe.
+
+    Budget model (measured against Mosaic's scoped-vmem accounting on v5e):
+    input block is double-buffered, weight and output blocks are
+    double-buffered per grid step, and the MXU result materializes in f32
+    before the cast — all counted. The hard scoped limit is 16 MB; 8 MB of
+    model leaves room for the ~40% overhead Mosaic adds in practice."""
+    budget = 8 * 1024 * 1024
+    fixed = 2 * S * C * itemsize + (S * 8 * C * itemsize if im2col else 0)
     nt = N
     while nt > 8:
-        per_tile = S * nt * (4 + itemsize) + 8 * C * nt * itemsize
-        if fixed + per_tile <= budget or nt <= 8:
+        per_tile = (
+            2 * S * nt * itemsize  # output block, double-buffered
+            + 2 * 8 * C * nt * itemsize  # weight block, double-buffered
+            + S * nt * 4  # f32 matmul result / accumulator
+        )
+        if fixed + per_tile <= budget:
             break
         nt //= 2
     while N % nt:
@@ -126,14 +135,14 @@ def _conv_k2_pallas(x: jnp.ndarray, w: jnp.ndarray, interpret: bool) -> jnp.ndar
     if im2col:
         wf = w.astype(x.dtype).reshape(8 * C, N)
         kern = functools.partial(
-            _kernel_im2col, S=S, H=H, W=W, out_dtype=x.dtype
+            _kernel_im2col, S=S, D=D, H=H, W=W, out_dtype=x.dtype
         )
         w_spec = pl.BlockSpec((8 * C, nt), lambda b, n: (0, n))
         scratch = [pltpu.VMEM((S, 8 * C), x.dtype)]
     else:
         wf = w.astype(x.dtype).reshape(8, C, N)
         kern = functools.partial(
-            _kernel_matmul8, S=S, H=H, W=W, out_dtype=x.dtype
+            _kernel_matmul8, S=S, D=D, H=H, W=W, out_dtype=x.dtype
         )
         w_spec = pl.BlockSpec((8, C, nt), lambda b, n: (0, 0, n))
         scratch = [pltpu.VMEM((S, nt), jnp.float32)]
@@ -208,15 +217,22 @@ _conv_k2_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def conv_k2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """2x2x2 stride-1 SAME 3D conv, Pallas-fused on TPU.
+    """2x2x2 stride-1 SAME 3D conv.
 
-    ``x``: [B, D, H, W, C]; ``w``: [2, 2, 2, C, N]. Interpreter mode off-TPU
-    keeps tests CPU-runnable; shapes the kernel cannot tile cleanly fall back
-    to XLA.
+    ``x``: [B, D, H, W, C]; ``w``: [2, 2, 2, C, N]. Defaults to the XLA conv
+    lowering — the fastest measured formulation on TPU (see module
+    docstring). The Pallas path runs in interpreter mode off-TPU (tests) and
+    on TPU only behind ``ANYTIME3D_CONVK2_PALLAS=1`` (currently blocked by a
+    Mosaic lowering limitation; kept for when the toolchain supports sublane
+    shifts).
     """
+    import os
+
     B, D, H, W, C = x.shape
     N = w.shape[-1]
     if w.shape[:3] != (2, 2, 2) or D * H * W < 8 or min(C, N) < 8:
         return conv_k2_xla(x, w)
     interpret = jax.default_backend() != "tpu"
+    if not interpret and os.environ.get("ANYTIME3D_CONVK2_PALLAS") != "1":
+        return conv_k2_xla(x, w)
     return _conv_k2_pallas_vjp(x, w.astype(x.dtype), interpret)
