@@ -10,7 +10,9 @@ dependency chain; everything below is vectorized NumPy).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import ctypes
+import os
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -90,6 +92,27 @@ def image_random_augmentation(
         img = np.stack([img] * 3, axis=-1)
     in_r, in_c = img.shape[:2]
 
+    # the affine params are drawn FIRST so both backends consume the RNG
+    # stream identically (padding is deterministic)
+    if augmentation:
+        scale = float(rng.uniform(*scale_range))
+        tx = float(rng.uniform(-translate_frac, translate_frac))
+        ty = float(rng.uniform(-translate_frac, translate_frac))
+    else:
+        scale, tx, ty = 1.0, 0.0, 0.0
+
+    lib = _find_augment_lib()
+    if lib is not None:
+        # native fused path (native/augment.cpp): pad-to-aspect + warp +
+        # resize as ONE bilinear gather — no padded/warped intermediates,
+        # one resampling instead of cv2's two. Same params contract.
+        out, params = _augment_one_native(
+            lib, img, out_r, out_c, scale, tx, ty, pad_to_aspect=pad_to_aspect
+        )
+        if add_noise:
+            out = photometric_augment(rng, out)
+        return out.astype(np.float32), params
+
     # pad to output aspect ratio, content centered
     pad_l = pad_t = 0
     if pad_to_aspect:
@@ -104,13 +127,6 @@ def image_random_augmentation(
             pad_t = (new_r - in_r) // 2
             img = np.pad(img, ((pad_t, new_r - in_r - pad_t), (0, 0), (0, 0)))
     padded_r, padded_c = img.shape[:2]
-
-    if augmentation:
-        scale = float(rng.uniform(*scale_range))
-        tx = float(rng.uniform(-translate_frac, translate_frac))
-        ty = float(rng.uniform(-translate_frac, translate_frac))
-    else:
-        scale, tx, ty = 1.0, 0.0, 0.0
 
     if cv2 is not None:
         m = np.array(
@@ -155,6 +171,234 @@ def remap_bbox(bbox_frac: np.ndarray, params) -> np.ndarray:
     b[..., [0, 2]] = (b[..., [0, 2]] - 0.5) * scale + 0.5 + tx
     b[..., [1, 3]] = (b[..., [1, 3]] - 0.5) * scale + 0.5 + ty
     return b
+
+
+def _augment_one_numpy(
+    image: np.ndarray,
+    out_r: int,
+    out_c: int,
+    scale: float,
+    tx: float,
+    ty: float,
+    flip: bool = False,
+    pad_to_aspect: bool = True,
+):
+    """Vectorized NumPy twin of native/augment.cpp::run_job — the exact same
+    fused inverse-map bilinear gather (pad-to-aspect + affine about padded
+    center + resize, single resampling, zero border). Used as the fallback
+    when the native library is not built and as the oracle in its tests."""
+    im = np.asarray(image, np.float32)
+    if im.ndim == 2:
+        im = np.stack([im] * 3, axis=-1)
+    rows, cols, ch = im.shape
+    pad_l = pad_t = 0
+    padded_r, padded_c = rows, cols
+    if pad_to_aspect:
+        target_ar = out_c / out_r
+        ar = cols / rows
+        if ar < target_ar:
+            new_c = int(round(rows * target_ar))
+            pad_l = (new_c - cols) // 2
+            padded_c = new_c
+        elif ar > target_ar:
+            new_r = int(round(cols / target_ar))
+            pad_t = (new_r - rows) // 2
+            padded_r = new_r
+    off_x = (1.0 - scale) * padded_c * 0.5 + tx * padded_c
+    off_y = (1.0 - scale) * padded_r * 0.5 + ty * padded_r
+    xp = (np.arange(out_c, dtype=np.float64) + 0.5) * (padded_c / out_c) - 0.5
+    yp = (np.arange(out_r, dtype=np.float64) + 0.5) * (padded_r / out_r) - 0.5
+    x_orig = (xp - off_x) / scale - pad_l
+    y_orig = (yp - off_y) / scale - pad_t
+    if flip:
+        x_orig = (cols - 1) - x_orig
+    xg, yg = np.meshgrid(x_orig, y_orig)  # (out_r, out_c)
+    x0 = np.floor(xg).astype(np.int64)
+    y0 = np.floor(yg).astype(np.int64)
+    wx = (xg - x0).astype(np.float32)[..., None]
+    wy = (yg - y0).astype(np.float32)[..., None]
+
+    def gather(yi, xi):
+        ok = (yi >= 0) & (yi < rows) & (xi >= 0) & (xi < cols)
+        v = im[np.clip(yi, 0, rows - 1), np.clip(xi, 0, cols - 1)]
+        return np.where(ok[..., None], v, 0.0)
+
+    out = (
+        gather(y0, x0) * (1 - wx) * (1 - wy)
+        + gather(y0, x0 + 1) * wx * (1 - wy)
+        + gather(y0 + 1, x0) * (1 - wx) * wy
+        + gather(y0 + 1, x0 + 1) * wx * wy
+    ).astype(np.float32)
+    params = (
+        scale, tx, ty,
+        pad_l / padded_c, pad_t / padded_r,
+        cols / padded_c, rows / padded_r,
+    )
+    return out, params
+
+
+def _augment_one_native(
+    lib: ctypes.CDLL,
+    image: np.ndarray,
+    out_r: int,
+    out_c: int,
+    scale: float,
+    tx: float,
+    ty: float,
+    flip: bool = False,
+    pad_to_aspect: bool = True,
+):
+    """Single-image call into native/augment.cpp (n=1, caller's thread —
+    loaders already fan out over a thread pool, and ctypes releases the GIL
+    for the call's duration so workers overlap)."""
+    im = np.ascontiguousarray(image, np.float32)
+    if im.ndim == 2:
+        im = np.ascontiguousarray(np.stack([im] * 3, axis=-1))
+    shapes = np.array([im.shape[0], im.shape[1], im.shape[2]], np.int32)
+    ptrs = (ctypes.POINTER(ctypes.c_float) * 1)(
+        im.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    )
+    st = np.array([scale, tx, ty], np.float32)
+    fl = np.array([1 if flip else 0], np.uint8)
+    out = np.empty((out_r, out_c, im.shape[2]), np.float32)
+    params_out = np.empty(7, np.float32)
+    rc = lib.augment_batch(
+        ptrs,
+        shapes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        1, out_r, out_c,
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        fl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        1 if pad_to_aspect else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        params_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        1,
+    )
+    if rc != 0:  # pragma: no cover
+        raise RuntimeError(f"augment_batch native call failed (code {rc})")
+    return out, tuple(float(v) for v in params_out)
+
+
+_AUG_LIB: Optional[ctypes.CDLL] = None
+_AUG_LIB_TRIED = False
+
+
+def _find_augment_lib() -> Optional[ctypes.CDLL]:
+    global _AUG_LIB, _AUG_LIB_TRIED
+    if _AUG_LIB_TRIED:
+        return _AUG_LIB
+    _AUG_LIB_TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    candidates = [
+        os.environ.get("ANYTIME3D_AUGMENT_LIB", ""),  # sanitizer builds etc.
+        os.path.join(here, "native", "libaugment.so"),
+    ]
+    for path in (c for c in candidates if c):
+        if os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(path)
+                lib.augment_batch.argtypes = [
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int32,
+                ]
+                lib.augment_batch.restype = ctypes.c_int32
+                _AUG_LIB = lib
+                break
+            except OSError:  # pragma: no cover
+                continue
+    return _AUG_LIB
+
+
+def augment_native_available() -> bool:
+    return _find_augment_lib() is not None
+
+
+def augment_batch(
+    rng: np.random.Generator,
+    images: Sequence[np.ndarray],
+    image_size: Tuple[int, int],  # (cols, rows) output
+    augmentation: bool = True,
+    scale_range: Tuple[float, float] = (0.8, 1.2),
+    translate_frac: float = 0.2,
+    pad_to_aspect: bool = True,
+    flip_prob: float = 0.0,
+    n_threads: int = 0,
+):
+    """Batch geometric augmentation via the native engine (native/augment.cpp):
+    the whole pad-to-aspect + affine + resize chain of
+    ``image_random_augmentation`` fused into one inverse-map bilinear gather
+    per image, fanned over a thread pool. RNG draws stay in NumPy (one
+    (scale, tx, ty, flip) tuple per image), so behavior is reproducible from
+    the generator state alone.
+
+    Returns ``(batch, params, flipped)``: batch (n, rows, cols, 3) float32,
+    ``params`` the per-image 7-tuples understood by ``remap_bbox``, and
+    ``flipped`` the per-image horizontal-flip flags (callers negate azimuth,
+    pascal3D.py:227-248). Falls back to the per-image Python path when the
+    native library is not built.
+    """
+    n = len(images)
+    out_c, out_r = image_size
+    if augmentation:
+        st = rng.uniform(
+            [scale_range[0], -translate_frac, -translate_frac],
+            [scale_range[1], translate_frac, translate_frac],
+            (n, 3),
+        ).astype(np.float32)
+    else:
+        st = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (n, 1))
+    flips = (
+        (rng.random(n) < flip_prob).astype(np.uint8)
+        if flip_prob > 0
+        else np.zeros(n, np.uint8)
+    )
+
+    lib = _find_augment_lib()
+    if lib is None:
+        out = np.empty((n, out_r, out_c, 3), np.float32)
+        params = []
+        for i, img in enumerate(images):
+            o, p = _augment_one_numpy(
+                img, out_r, out_c, *(float(v) for v in st[i]),
+                flip=bool(flips[i]), pad_to_aspect=pad_to_aspect,
+            )
+            out[i] = o
+            params.append(p)
+        return out, params, flips.astype(bool)
+
+    held: List[np.ndarray] = []  # keep converted arrays alive for the call
+    shapes = np.zeros((n, 3), np.int32)
+    ptrs = (ctypes.POINTER(ctypes.c_float) * n)()
+    for i, img in enumerate(images):
+        im = np.ascontiguousarray(img, np.float32)
+        if im.ndim == 2:
+            im = np.ascontiguousarray(np.stack([im] * 3, axis=-1))
+        shapes[i] = (im.shape[0], im.shape[1], im.shape[2])
+        ptrs[i] = im.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        held.append(im)
+
+    out = np.empty((n, out_r, out_c, 3), np.float32)
+    params_out = np.empty((n, 7), np.float32)
+    rc = lib.augment_batch(
+        ptrs,
+        shapes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n, out_r, out_c,
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        1 if pad_to_aspect else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        params_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads,
+    )
+    if rc != 0:  # pragma: no cover
+        raise RuntimeError(f"augment_batch native call failed (code {rc})")
+    return out, [tuple(float(v) for v in p) for p in params_out], flips.astype(bool)
 
 
 def random_flip_horizontal(
