@@ -68,6 +68,28 @@ def noisy(
     raise ValueError(f"unknown noise type {noise_type!r}")
 
 
+def _to_rgb3(image: np.ndarray) -> np.ndarray:
+    """Promote/validate an image to exactly 3 channels, contiguous float32.
+
+    Every consumer of the native engine sizes its output buffer for 3
+    channels, and ``augment_batch`` (native/augment.cpp) writes ``ch_out``
+    floats per pixel — so the wrapper guarantees ch==3 up front: grayscale
+    (H,W) and (H,W,1) are repeated, RGBA drops alpha, anything else raises
+    (rather than overflowing or mis-striding the output buffer)."""
+    im = np.asarray(image, np.float32)
+    if im.ndim == 2:
+        im = np.stack([im] * 3, axis=-1)
+    elif im.ndim == 3 and im.shape[2] == 1:
+        im = np.repeat(im, 3, axis=2)
+    elif im.ndim == 3 and im.shape[2] == 4:
+        im = im[:, :, :3]
+    if im.ndim != 3 or im.shape[2] != 3:
+        raise ValueError(
+            f"augment expects (H,W), (H,W,1), (H,W,3) or (H,W,4) images; got {image.shape}"
+        )
+    return np.ascontiguousarray(im)
+
+
 def image_random_augmentation(
     rng: np.random.Generator,
     image: np.ndarray,
@@ -87,9 +109,7 @@ def image_random_augmentation(
     datasetUtils.py:137-152).
     """
     out_c, out_r = image_size
-    img = image.astype(np.float32)
-    if img.ndim == 2:
-        img = np.stack([img] * 3, axis=-1)
+    img = _to_rgb3(image)
     in_r, in_c = img.shape[:2]
 
     # the affine params are drawn FIRST so both backends consume the RNG
@@ -113,17 +133,20 @@ def image_random_augmentation(
             out = photometric_augment(rng, out)
         return out.astype(np.float32), params
 
-    # pad to output aspect ratio, content centered
+    # pad to output aspect ratio, content centered. Half-up rounding
+    # (floor(x+0.5)) is the ONE padded-size rule shared with
+    # native/augment.cpp — Python's round() is banker's and diverges at
+    # half-integer sizes.
     pad_l = pad_t = 0
     if pad_to_aspect:
         target_ar = out_c / out_r
         ar = in_c / in_r
         if ar < target_ar:  # too narrow: pad cols
-            new_c = int(round(in_r * target_ar))
+            new_c = int(np.floor(in_r * target_ar + 0.5))
             pad_l = (new_c - in_c) // 2
             img = np.pad(img, ((0, 0), (pad_l, new_c - in_c - pad_l), (0, 0)))
         elif ar > target_ar:  # too wide: pad rows
-            new_r = int(round(in_c / target_ar))
+            new_r = int(np.floor(in_c / target_ar + 0.5))
             pad_t = (new_r - in_r) // 2
             img = np.pad(img, ((pad_t, new_r - in_r - pad_t), (0, 0), (0, 0)))
     padded_r, padded_c = img.shape[:2]
@@ -187,21 +210,21 @@ def _augment_one_numpy(
     fused inverse-map bilinear gather (pad-to-aspect + affine about padded
     center + resize, single resampling, zero border). Used as the fallback
     when the native library is not built and as the oracle in its tests."""
-    im = np.asarray(image, np.float32)
-    if im.ndim == 2:
-        im = np.stack([im] * 3, axis=-1)
+    im = _to_rgb3(image)
     rows, cols, ch = im.shape
     pad_l = pad_t = 0
     padded_r, padded_c = rows, cols
     if pad_to_aspect:
         target_ar = out_c / out_r
         ar = cols / rows
+        # half-up rounding shared with native/augment.cpp (see
+        # image_random_augmentation)
         if ar < target_ar:
-            new_c = int(round(rows * target_ar))
+            new_c = int(np.floor(rows * target_ar + 0.5))
             pad_l = (new_c - cols) // 2
             padded_c = new_c
         elif ar > target_ar:
-            new_r = int(round(cols / target_ar))
+            new_r = int(np.floor(cols / target_ar + 0.5))
             pad_t = (new_r - rows) // 2
             padded_r = new_r
     off_x = (1.0 - scale) * padded_c * 0.5 + tx * padded_c
@@ -251,16 +274,14 @@ def _augment_one_native(
     """Single-image call into native/augment.cpp (n=1, caller's thread —
     loaders already fan out over a thread pool, and ctypes releases the GIL
     for the call's duration so workers overlap)."""
-    im = np.ascontiguousarray(image, np.float32)
-    if im.ndim == 2:
-        im = np.ascontiguousarray(np.stack([im] * 3, axis=-1))
+    im = _to_rgb3(image)
     shapes = np.array([im.shape[0], im.shape[1], im.shape[2]], np.int32)
     ptrs = (ctypes.POINTER(ctypes.c_float) * 1)(
         im.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     )
     st = np.array([scale, tx, ty], np.float32)
     fl = np.array([1 if flip else 0], np.uint8)
-    out = np.empty((out_r, out_c, im.shape[2]), np.float32)
+    out = np.empty((out_r, out_c, 3), np.float32)
     params_out = np.empty(7, np.float32)
     rc = lib.augment_batch(
         ptrs,
@@ -271,6 +292,7 @@ def _augment_one_native(
         1 if pad_to_aspect else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         params_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        3,  # ch_out: the channel count `out` was sized for
         1,
     )
     if rc != 0:  # pragma: no cover
@@ -288,8 +310,15 @@ def _find_augment_lib() -> Optional[ctypes.CDLL]:
         return _AUG_LIB
     _AUG_LIB_TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = os.environ.get("ANYTIME3D_AUGMENT_LIB")
+    if env is not None and env.strip().lower() in ("", "0", "off", "none"):
+        # explicit disable: force the classic cv2/NumPy path even when
+        # libaugment.so is built, so augmentation numerics can be pinned to
+        # one backend across machines (same convention as the sanitizer
+        # override below — set the var to a path to use that build instead).
+        return None
     candidates = [
-        os.environ.get("ANYTIME3D_AUGMENT_LIB", ""),  # sanitizer builds etc.
+        env or "",  # sanitizer builds etc.
         os.path.join(here, "native", "libaugment.so"),
     ]
     for path in (c for c in candidates if c):
@@ -305,7 +334,8 @@ def _find_augment_lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_int32,
                     ctypes.POINTER(ctypes.c_float),
                     ctypes.POINTER(ctypes.c_float),
-                    ctypes.c_int32,
+                    ctypes.c_int32,  # ch_out
+                    ctypes.c_int32,  # n_threads
                 ]
                 lib.augment_batch.restype = ctypes.c_int32
                 _AUG_LIB = lib
@@ -376,9 +406,7 @@ def augment_batch(
     shapes = np.zeros((n, 3), np.int32)
     ptrs = (ctypes.POINTER(ctypes.c_float) * n)()
     for i, img in enumerate(images):
-        im = np.ascontiguousarray(img, np.float32)
-        if im.ndim == 2:
-            im = np.ascontiguousarray(np.stack([im] * 3, axis=-1))
+        im = _to_rgb3(img)  # out is sized (n, r, c, 3); every input must be 3ch
         shapes[i] = (im.shape[0], im.shape[1], im.shape[2])
         ptrs[i] = im.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         held.append(im)
@@ -394,6 +422,7 @@ def augment_batch(
         1 if pad_to_aspect else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         params_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        3,  # ch_out: the channel count `out` was sized for
         n_threads,
     )
     if rc != 0:  # pragma: no cover

@@ -74,12 +74,15 @@ void run_job(const Job& j, int out_r, int out_c, bool pad_to_aspect) {
   if (pad_to_aspect) {
     const double target_ar = (double)out_c / (double)out_r;
     const double ar = (double)j.cols / (double)j.rows;
+    // half-up rounding (floor(x+0.5)): the ONE rule shared with the Python
+    // oracle (_augment_one_numpy) so both backends agree at half-integer
+    // padded sizes (e.g. 26 rows -> 40x32 output: 32.5 pads to 33 in both).
     if (ar < target_ar) {  // too narrow: pad cols
-      int new_c = (int)std::lround(j.rows * target_ar);
+      int new_c = (int)std::floor(j.rows * target_ar + 0.5);
       pad_l = (new_c - j.cols) / 2;
       padded_c = new_c;
     } else if (ar > target_ar) {  // too wide: pad rows
-      int new_r = (int)std::lround(j.cols / target_ar);
+      int new_r = (int)std::floor(j.cols / target_ar + 0.5);
       pad_t = (new_r - j.rows) / 2;
       padded_r = new_r;
     }
@@ -124,19 +127,21 @@ extern "C" {
 // where NumPy allocated them); shapes = n x (rows, cols, channels); aug =
 // n x (scale, tx, ty) drawn by the caller's RNG (keeps randomness in NumPy
 // for reproducibility); flip = n bytes (horizontal flip of the ORIGINAL
-// image, pascal3D.py:227-248); out = n * out_r * out_c * ch_out floats;
-// params_out = n x 7 (scale, tx, ty, pad_l_frac, pad_t_frac, w_frac,
-// h_frac — the image_random_augmentation params contract). Returns 0 on
-// success.
+// image, pascal3D.py:227-248); out = n * out_r * out_c * ch_out floats —
+// ch_out is the channel count the CALLER sized `out` for, and every input
+// image must match it exactly (code 2 otherwise; the output buffer is never
+// written past what the caller allocated); params_out = n x 7 (scale, tx,
+// ty, pad_l_frac, pad_t_frac, w_frac, h_frac — the
+// image_random_augmentation params contract). Returns 0 on success.
 int augment_batch(const float* const* imgs, const int32_t* shapes, int32_t n,
                   int32_t out_r, int32_t out_c, const float* aug,
                   const uint8_t* flip, int32_t pad_to_aspect, float* out,
-                  float* params_out, int32_t n_threads) {
-  if (n <= 0 || out_r <= 0 || out_c <= 0) return 1;
+                  float* params_out, int32_t ch_out, int32_t n_threads) {
+  if (n <= 0 || out_r <= 0 || out_c <= 0 || ch_out <= 0) return 1;
   std::vector<Job> jobs((size_t)n);
-  int ch = shapes[2];
+  const int ch = ch_out;
   for (int i = 0; i < n; ++i) {
-    if (shapes[3 * i + 2] != ch) return 2;  // uniform channel count required
+    if (shapes[3 * i + 2] != ch) return 2;  // every image must match ch_out
     jobs[i] = Job{imgs[i],
                   shapes[3 * i],
                   shapes[3 * i + 1],

@@ -108,6 +108,66 @@ def test_threads_deterministic():
     np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 
 
+@needs_native
+def test_channel_promotion_rgba_and_single_channel():
+    """ADVICE r1 (high): a uniform 4-channel (RGBA) batch used to overflow the
+    3-channel output buffer, and (H,W,1) batches produced mis-strided output.
+    The wrapper now promotes every image to exactly 3 channels."""
+    rng = np.random.default_rng(6)
+    rgb = rng.uniform(0, 255, (4, 30, 40, 3)).astype(np.float32)
+    rgba = np.concatenate([rgb, np.full((4, 30, 40, 1), 128.0, np.float32)], -1)
+    single = rgb[..., :1].copy()
+
+    out_rgb, p_rgb, _ = augment_batch(np.random.default_rng(9), list(rgb), (40, 30))
+    out_rgba, p_rgba, _ = augment_batch(np.random.default_rng(9), list(rgba), (40, 30))
+    # alpha is dropped: RGBA result identical to the RGB result
+    np.testing.assert_array_equal(out_rgba, out_rgb)
+    np.testing.assert_array_equal(np.asarray(p_rgba), np.asarray(p_rgb))
+
+    out_1, _, _ = augment_batch(np.random.default_rng(9), list(single), (40, 30))
+    ref_1, _, _ = augment_batch(
+        np.random.default_rng(9), [np.repeat(s, 3, axis=2) for s in single], (40, 30)
+    )
+    np.testing.assert_array_equal(out_1, ref_1)
+
+    with pytest.raises(ValueError):
+        augment_batch(rng, [rng.uniform(0, 255, (8, 8, 5)).astype(np.float32)], (8, 8))
+
+
+@needs_native
+def test_half_integer_pad_size_matches_oracle():
+    """ADVICE r1 (medium): at half-integer padded sizes (26 rows -> 40x32
+    output: 26*1.25 = 32.5) lround (half-away-from-zero) and Python round()
+    (banker's) used to pick different padded widths — both backends now use
+    floor(x+0.5)."""
+    rng = np.random.default_rng(8)
+    img = rng.uniform(0, 255, (26, 20, 3)).astype(np.float32)
+    out, params, _ = augment_batch(
+        np.random.default_rng(11), [img], (40, 32), augmentation=False
+    )
+    ref, ref_params = _augment_one_numpy(img, 32, 40, 1.0, 0.0, 0.0)
+    np.testing.assert_allclose(params[0], ref_params, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(out[0], ref, atol=1e-2)
+    # the shared rule is half-up: padded width floor(26*1.25+0.5) = 33
+    assert abs(ref_params[5] - 20.0 / 33.0) < 1e-6
+
+
+def test_env_var_disables_native(monkeypatch):
+    """ADVICE r1 (low): ANYTIME3D_AUGMENT_LIB set to ''/'0'/'off' forces the
+    classic path even when libaugment.so is built."""
+    import anytime3d_tpu.data.augment as aug
+
+    for value in ("", "0", "off", "none"):
+        monkeypatch.setattr(aug, "_AUG_LIB", None)
+        monkeypatch.setattr(aug, "_AUG_LIB_TRIED", False)
+        monkeypatch.setenv("ANYTIME3D_AUGMENT_LIB", value)
+        assert aug._find_augment_lib() is None
+    monkeypatch.setattr(aug, "_AUG_LIB", None)
+    monkeypatch.setattr(aug, "_AUG_LIB_TRIED", False)
+    monkeypatch.delenv("ANYTIME3D_AUGMENT_LIB", raising=False)
+    aug._find_augment_lib()  # unset -> default discovery (may or may not load)
+
+
 def test_numpy_fallback_pads_and_grayscale():
     """Fallback path (and oracle) semantics: grayscale promotion + aspect pad."""
     img = np.arange(20 * 10, dtype=np.float32).reshape(20, 10)  # tall, 2D
