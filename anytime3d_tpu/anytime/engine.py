@@ -99,7 +99,9 @@ def anytime_eval(
     corrected metrics.
     """
     cfg = model.config
-    k_sample, k_mask, k_corr = jax.random.split(key, 3)
+    # independent epsilon per latent block: the reference draws the category
+    # and instance samples separately (nolbo.py:184-197)
+    k_sample_cat, k_sample_inst, k_mask, k_corr = jax.random.split(key, 4)
 
     enc = model.apply({"params": params}, batch["input"], method=MultiModalVAE.encode)
 
@@ -125,7 +127,7 @@ def anytime_eval(
             raise ValueError("prior_means required for models without a category priornet")
 
     z_cat = (
-        reparameterize(k_sample, mean_cat, lv_cat) if lv_cat is not None else mean_cat
+        reparameterize(k_sample_cat, mean_cat, lv_cat) if lv_cat is not None else mean_cat
     )
 
     # ---- anytime mask: missing dims <- mean of prior means (nolbo.py:200-208)
@@ -149,7 +151,7 @@ def anytime_eval(
     z_parts = [z_cat]
     if mean_inst is not None:
         z_inst = (
-            reparameterize(k_sample, mean_inst, lv_inst) if lv_inst is not None else mean_inst
+            reparameterize(k_sample_inst, mean_inst, lv_inst) if lv_inst is not None else mean_inst
         )
         z_parts.append(z_inst)
         if cfg.prior_inst is not None and "inst_onehot" in batch and "category_onehot" in batch:

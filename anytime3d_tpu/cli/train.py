@@ -150,14 +150,14 @@ def main(argv=None):
 
     from anytime3d_tpu.models import configs
     from anytime3d_tpu.models.mmvae import MultiModalVAE
-    from anytime3d_tpu.train import LossConfig, create_train_state
+    from anytime3d_tpu.train import create_train_state
     from anytime3d_tpu.train.trainer import Trainer, TrainerConfig
     from anytime3d_tpu.utils.profiling import enable_compilation_cache
 
     if args.compilation_cache:
         enable_compilation_cache(args.compilation_cache)
 
-    model_cfg = configs.REGISTRY[args.config]()
+    model_cfg, loss_cfg = configs.variant(args.config)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = MultiModalVAE(model_cfg, dtype=dtype)
 
@@ -189,9 +189,6 @@ def main(argv=None):
         learning_rate=args.learning_rate,
     )
 
-    loss_cfg = LossConfig(
-        reg_weight=0.01 if "category" in args.config or "nolbo" in args.config else 1.0
-    )
     trainer = Trainer(
         model,
         state,

@@ -233,3 +233,93 @@ REGISTRY = {
     "pascal_ae_dr": lambda: pascal_ae(latent_dropout=True),
     "kitti_inst_only": kitti_inst_only,
 }
+
+
+# --------------------------------------------------------------------------
+# per-variant loss hyperparameters — the other half of each experiment
+# --------------------------------------------------------------------------
+
+def _loss_table():
+    """Faithful per-name LossConfig, one entry per reference fit().
+
+    Derivation (every value read off the reference's total_loss expression):
+
+    - ``pascal_nolbo`` (nolbo.py:119-147): scalar 50% coin then elementwise
+      p=0.5 prior mix; repulsion margins 3.0*z_cat / 3.0*z_inst (class-gated
+      inst); keras .losses summed -> l2 5e-4.
+    - ``kitti_inst_only`` (nolbo.py:383-404): coin swaps the WHOLE prior
+      vector (element prob 1.0); margin 10.0*z_inst; .losses summed.
+    - ``pascal_category`` (nolbo.py:1042-1063): coin + elementwise p=0.3
+      (missing_pr); margin 3.0*z; total = kl + shape + 0.01*reg — NO .losses
+      term -> l2 0.
+    - ``modelnet_nolbo`` (nolbo.py:1639-1666): coin + p=0.3; margin 2.0*z
+      (:1661 — NOT 3.0); total = kl + shape + 0.01*reg, no l2.
+    - ``pascal_vae``/``pascal_ae`` (+_dr) (nolbo.py:578-630, 795-854):
+      shape (+KL vs N(0,I)) + .losses -> l2 5e-4; no priors, no mixing.
+    - ``modelnet_vae``/``modelnet_ae`` (+_dr) (nolbo.py:1231-1258,
+      1422-1445): shape (+KL); fit() never adds .losses -> l2 0.
+    - ``ae3d`` (AE3D.py:46-48, 69-70): gamma-BCE only with b_range=False;
+      encoder INPUT remapped 2x-1; no .losses -> l2 0, input_remap.
+    """
+    from anytime3d_tpu.train.step import LossConfig
+
+    prior_img = LossConfig(  # pascal_nolbo
+        reg_weight=1.0,
+        reg_margin_scale_category=3.0,
+        reg_margin_scale_inst=3.0,
+        l2_weight=5e-4,
+        mix_coin_prob=0.5,
+        mix_element_prob=0.5,
+    )
+    kitti = LossConfig(
+        reg_weight=1.0,
+        reg_margin_scale_inst=10.0,
+        l2_weight=5e-4,
+        mix_coin_prob=0.5,
+        mix_element_prob=1.0,  # whole-vector prior swap (nolbo.py:383-386)
+    )
+    pascal_cat = LossConfig(
+        reg_weight=0.01,
+        reg_margin_scale_category=3.0,
+        l2_weight=0.0,
+        mix_coin_prob=0.5,
+        mix_element_prob=0.3,
+    )
+    modelnet_cat = LossConfig(
+        reg_weight=0.01,
+        reg_margin_scale_category=2.0,  # nolbo.py:1661
+        l2_weight=0.0,
+        mix_coin_prob=0.5,
+        mix_element_prob=0.3,
+    )
+    img_plain = LossConfig(l2_weight=5e-4)  # pascal AE/VAE (+_dr)
+    vox_plain = LossConfig(l2_weight=0.0)  # modelnet AE/VAE (+_dr)
+    ae3d_loss = LossConfig(l2_weight=0.0, input_remap=True)
+
+    return {
+        "modelnet_nolbo": modelnet_cat,
+        "modelnet_nolbo_dr": modelnet_cat,
+        "modelnet_vae": vox_plain,
+        "modelnet_vae_dr": vox_plain,
+        "modelnet_ae": vox_plain,
+        "modelnet_ae_dr": vox_plain,
+        "ae3d": ae3d_loss,
+        "pascal_nolbo": prior_img,
+        "pascal_category": pascal_cat,
+        "pascal_vae": img_plain,
+        "pascal_vae_dr": img_plain,
+        "pascal_ae": img_plain,
+        "pascal_ae_dr": img_plain,
+        "kitti_inst_only": kitti,
+    }
+
+
+def loss_config(name: str):
+    """The faithful LossConfig for a REGISTRY name."""
+    return _loss_table()[name]
+
+
+def variant(name: str):
+    """REGISTRY entry point for training: everything needed to train ``name``
+    faithfully — ``(MMVAEConfig, LossConfig)``."""
+    return REGISTRY[name](), loss_config(name)

@@ -50,7 +50,8 @@ class MMVAEConfig:
     # behavior flags
     variational: bool = True
     latent_dropout: bool = False  # `_dr` variants (nolbo.py:586-588,1237-1239)
-    mix_prob: float = 0.25  # decoder-input prior mixing rate (nolbo.py:119-124)
+    # decoder-input prior mixing is a TRAINING behavior and lives in
+    # train.step.LossConfig (mix_coin_prob / mix_element_prob)
     log_var_clip: float = 10.0  # encoder log-var clip (nolbo.py:104,108)
 
     @property

@@ -30,12 +30,39 @@ from anytime3d_tpu.train.state import TrainState, l2_penalty
 
 @dataclasses.dataclass(frozen=True)
 class LossConfig:
+    """Per-variant training-loss hyperparameters.
+
+    Every reference fit() difference lives here; the faithful per-name values
+    are in ``models.configs.loss_config`` (the registry returns
+    (MMVAEConfig, LossConfig) pairs). Defaults match ``nolboSingleObject``
+    (nolbo.py:90-159)."""
+
     gamma: float = 0.6  # occupied-voxel BCE weight (0.60 everywhere, nolbo.py:133)
-    b_range: bool = False  # AE3D's [0,1]->[-1,2] target remap (AE3D.py:69-70)
+    # target range remap in the BCE (function.py:73-79). NO reference variant
+    # sets it (every fit() passes b_range=False); kept for API parity.
+    b_range: bool = False
+    # AE3D's encoder-INPUT remap [0,1] -> [-1,1] (AE3D.py:69-70: 2x - 1);
+    # the loss target stays [0,1]
+    input_remap: bool = False
     kl_weight: float = 1.0
     reg_weight: float = 1.0  # 0.01 for *_category_only (nolbo.py:1063,1664)
-    reg_margin_scale: float = 3.0  # margin = scale * z_dim (nolbo.py:137; 10.0 for instOnly :393)
+    # prior-repulsion margin = scale * z_dim, per latent block
+    # (nolbo.py:136-140: 3.0/3.0; instOnly 10.0 :393; modelnet_category 2.0 :1661)
+    reg_margin_scale_category: float = 3.0
+    reg_margin_scale_inst: float = 3.0
+    # kernel L2: 5e-4 where the reference fit() sums keras .losses
+    # (nolbo.py:142-145, 397-400, 592-599, 810-812); the *_category_only,
+    # modelnet voxel and AE3D variants never add them (nolbo.py:1062, 1656;
+    # AE3D.py:46-48) -> 0.0 there
     l2_weight: float = 5e-4
+    # decoder-input prior mixing (nolbo.py:119-124): one scalar coin per step
+    # (np.random.rand() > 0.5) selects the mixed branch with probability
+    # ``mix_coin_prob``; inside it each latent element takes the prior sample
+    # with probability ``mix_element_prob``. instOnly swaps the WHOLE vector
+    # (nolbo.py:383-386) == element prob 1.0; *_category_only uses
+    # missing_pr=0.3 (nolbo.py:1042-1048, 1639-1644).
+    mix_coin_prob: float = 0.0
+    mix_element_prob: float = 0.5
 
 
 def _encode_and_sample(model, cfg, params, batch, key, deterministic, blocked=False):
@@ -46,9 +73,18 @@ def _encode_and_sample(model, cfg, params, batch, key, deterministic, blocked=Fa
     (lane-padded 128x on TPU) is never materialized in the step.
     """
     mcfg = model.config
-    k_cat, k_inst, k_mix, k_drop, k_dropout_rng = jax.random.split(key, 5)
+    # independent keys for the posterior draws and the prior-mix draws — the
+    # reference samples each with its own epsilon (nolbo.py:110-116); sharing
+    # keys would correlate the posterior and prior noise
+    (
+        k_cat, k_inst, k_prior_cat, k_prior_inst, k_mix, k_drop, k_dropout_rng,
+    ) = jax.random.split(key, 7)
     rngs = {"dropout": k_dropout_rng}
     x = batch["input"]
+    if cfg.input_remap:
+        # AE3D's encoder-input range shift [0,1] -> [-1,1] (AE3D.py:69-70);
+        # elementwise, so valid in dense and blocked layouts alike
+        x = 2.0 * x - 1.0
 
     out: Dict[str, Any] = {}
     enc = model.apply(
@@ -97,6 +133,27 @@ def _encode_and_sample(model, cfg, params, batch, key, deterministic, blocked=Fa
     else:
         z = enc.mean
 
+    # ---- decoder-input prior mixing (nolbo.py:119-124): one scalar coin per
+    # step selects the mixed branch; inside it each element takes the prior
+    # sample with probability mix_element_prob (1.0 = whole-vector swap, the
+    # instOnly variant nolbo.py:383-386). Runs BEFORE latent dropout — the
+    # reference applies dropout to the already-mixed z_input (nolbo.py:1644-1649).
+    if (
+        not deterministic
+        and cfg.mix_coin_prob > 0.0
+        and (prior_cat is not None or prior_inst is not None)
+    ):
+        parts = []
+        if prior_cat is not None:
+            parts.append(reparameterize(k_prior_cat, prior_cat[0], prior_cat[1]))
+        if prior_inst is not None:
+            parts.append(reparameterize(k_prior_inst, prior_inst[0], prior_inst[1]))
+        z_prior = jnp.concatenate(parts, axis=-1)
+        k_coin, k_elem = jax.random.split(k_mix)
+        use_mix = jax.random.bernoulli(k_coin, cfg.mix_coin_prob, ())
+        take_prior = jax.random.bernoulli(k_elem, cfg.mix_element_prob, z.shape)
+        z = jnp.where(use_mix & take_prior, z_prior, z)
+
     # ---- `_dr` variants: latent dropout at a random rate per step
     # (nolbo.py:586-588, 1237-1239: tf.nn.dropout with rate ~ U(0,1))
     if mcfg.latent_dropout and not deterministic:
@@ -104,18 +161,6 @@ def _encode_and_sample(model, cfg, params, batch, key, deterministic, blocked=Fa
         rate = jax.random.uniform(k_rate, (), minval=0.0, maxval=0.95)
         keep = jax.random.bernoulli(k_mask, 1.0 - rate, z.shape)
         z = jnp.where(keep, z / (1.0 - rate), 0.0)
-
-    # ---- decoder-input prior mixing (nolbo.py:119-124): elementwise swap of
-    # posterior samples for prior samples at rate mix_prob during training
-    if not deterministic and (prior_cat is not None or prior_inst is not None):
-        parts = []
-        if prior_cat is not None:
-            parts.append(reparameterize(k_cat, prior_cat[0], prior_cat[1]))
-        if prior_inst is not None:
-            parts.append(reparameterize(k_inst, prior_inst[0], prior_inst[1]))
-        z_prior = jnp.concatenate(parts, axis=-1)
-        take_prior = jax.random.bernoulli(k_mix, mcfg.mix_prob, z.shape)
-        z = jnp.where(take_prior, z_prior, z)
 
     out["z"] = z
     out["pred"] = model.apply(
@@ -237,13 +282,15 @@ def compute_losses(
         if mcfg.prior_category is not None:
             mc, lvc = fwd["prior_cat"]
             zdim = mc.shape[-1]
-            reg = reg + jnp.mean(prior_repulsion(mc, lvc, cfg.reg_margin_scale * zdim))
+            reg = reg + jnp.mean(
+                prior_repulsion(mc, lvc, cfg.reg_margin_scale_category * zdim)
+            )
         if mcfg.prior_inst is not None:
             mi, lvi = fwd["prior_inst"]
             zdim = mi.shape[-1]
             gate = batch.get("category_onehot") if mcfg.category_dim > 0 else None
             reg = reg + jnp.mean(
-                prior_repulsion(mi, lvi, cfg.reg_margin_scale * zdim, class_onehot=gate)
+                prior_repulsion(mi, lvi, cfg.reg_margin_scale_inst * zdim, class_onehot=gate)
             )
         metrics["loss_reg"] = reg
         total = total + cfg.reg_weight * reg

@@ -36,12 +36,16 @@ class TrainerConfig:
     save_path: Optional[str] = None
     load_path: Optional[str] = None
     jsonl_path: Optional[str] = None
-    # multi-scale schedule: list of (rows, cols, batch); shuffled every
-    # ``scale_period`` iterations (train_pascal.py:121-124). None = fixed.
-    multi_scale: Optional[Sequence[Tuple[int, int, int]]] = None
-    scale_period: int = 3
+    # NOTE: the multi-scale image schedule is a LOADER concern — it changes
+    # the batch the loader assembles — so it lives in the batch_fn
+    # (cli/train.py::build_batch_fn + multi_scale_schedule below), not here.
     use_mesh: bool = False
     eval_missing_prob: float = 0.5
+    # background device prefetch: batches are assembled on a worker thread
+    # and moved to device `prefetch_depth` steps ahead, overlapping host
+    # work (cv2 decode/augment — the reference's throughput wall,
+    # train_pascal.py:129-134) with device compute. 0 = synchronous.
+    prefetch_depth: int = 2
     # failure recovery: on NaN/Inf loss, restore the last checkpoint and
     # continue with a reseeded RNG instead of aborting (the reference can
     # only abort, train_pascal.py:167-170). 0 = abort immediately.
@@ -83,6 +87,7 @@ class Trainer:
         self.logger = MetricLogger(config.jsonl_path, print_every=config.log_every)
         self.history: List[Dict[str, float]] = []
         self.aborted_nan = False
+        self._prefetcher = None
         if config.load_path:
             self.state = restore_state(config.load_path, self.state)
 
@@ -91,6 +96,19 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return batch
 
+    def _make_prefetcher(self, start_it: int):
+        """Background prefetcher pulling ``batch_fn(start_it), batch_fn(
+        start_it+1), …`` on a worker thread and device-putting each batch
+        ``prefetch_depth`` steps ahead of consumption."""
+        from anytime3d_tpu.data.prefetch import DevicePrefetcher
+
+        counter = iter(range(start_it, self.cfg.total_steps + self.cfg.prefetch_depth))
+
+        def next_batch():
+            return self._prepare(self.batch_fn(next(counter)))
+
+        return DevicePrefetcher(next_batch, depth=self.cfg.prefetch_depth)
+
     def run(self, epoch_fn: Optional[Callable[[], int]] = None) -> TrainState:
         cfg = self.cfg
         key = jax.random.PRNGKey(int(self.state.step))
@@ -98,9 +116,23 @@ class Trainer:
         nan_restarts = 0
         last_saved_step = -1
         it = start
+        self._prefetcher = self._make_prefetcher(start) if cfg.prefetch_depth > 0 else None
+        try:
+            return self._run_loop(epoch_fn, key, nan_restarts, last_saved_step, it)
+        finally:
+            if self._prefetcher is not None:
+                self._prefetcher.close()
+                self._prefetcher = None
+
+    def _run_loop(self, epoch_fn, key, nan_restarts, last_saved_step, it) -> TrainState:
+        cfg = self.cfg
         while it < cfg.total_steps:
             key, k_step = jax.random.split(key)
-            batch = self._prepare(self.batch_fn(it))
+            batch = (
+                self._prefetcher.get()
+                if self._prefetcher is not None
+                else self._prepare(self.batch_fn(it))
+            )
             self.state, metrics = self._step_fn(self.state, batch, k_step)
 
             # fetch metrics (a device sync) only on the logging cadence —
@@ -131,6 +163,10 @@ class Trainer:
                         self.state = restore_state(cfg.save_path, self.state)
                         key = jax.random.PRNGKey(int(self.state.step) * 7919 + nan_restarts)
                         it = int(self.state.step)
+                        if self._prefetcher is not None:
+                            # rewind the batch stream to the restored step
+                            self._prefetcher.close()
+                            self._prefetcher = self._make_prefetcher(it)
                         continue
                     print("\nNaN/Inf loss — aborting (reference NaN-abort semantics)")
                     self.aborted_nan = True

@@ -35,10 +35,11 @@ def main():
 
     from anytime3d_tpu.models import configs
     from anytime3d_tpu.models.mmvae import MultiModalVAE
-    from anytime3d_tpu.train import LossConfig, create_train_state, make_train_step
+    from anytime3d_tpu.train import create_train_state, make_train_step
 
     batch_size = 32
-    model = MultiModalVAE(configs.modelnet_nolbo(), dtype=jnp.bfloat16)
+    model_cfg, loss_cfg = configs.variant("modelnet_nolbo")
+    model = MultiModalVAE(model_cfg, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     vox = (rng.uniform(size=(batch_size, 64, 64, 64, 1)) > 0.7).astype(np.float32)
@@ -54,7 +55,9 @@ def main():
     }
 
     state = create_train_state(model, jnp.asarray(vox), jax.random.PRNGKey(0))
-    step = make_train_step(model, LossConfig(), donate=True)
+    # the faithful per-variant loss (registry): 0.01*reg margin 2z, prior
+    # mixing coin 0.5 / element 0.3 — what cli/train.py trains with
+    step = make_train_step(model, loss_cfg, donate=True)
 
     # warmup / compile. NOTE: on the axon-tunneled platform
     # jax.block_until_ready returns at enqueue time, not completion — a real
