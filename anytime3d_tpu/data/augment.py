@@ -38,6 +38,22 @@ def photometric_augment(rng: np.random.Generator, image: np.ndarray) -> np.ndarr
         img = 255.0 - img
     if rng.random() < 0.3:  # gaussian noise
         img = img + rng.normal(0, 8, img.shape)
+    if (
+        rng.random() < 0.5
+        and cv2 is not None
+        and img.ndim == 3
+        and img.shape[2] == 3
+    ):
+        # hue/saturation jitter (datasetUtils.py:76 AddToHueAndSaturation
+        # (-20, 20)): one shared shift added to the H (wrapping, OpenCV
+        # uint8 hue range [0,180)) and S channels
+        shift = float(rng.uniform(-20, 20))
+        hsv = cv2.cvtColor(
+            np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV
+        ).astype(np.float32)
+        hsv[..., 0] = np.mod(hsv[..., 0] + shift * 180.0 / 255.0, 180.0)
+        hsv[..., 1] = np.clip(hsv[..., 1] + shift, 0.0, 255.0)
+        img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
     return np.clip(img, 0, 255).astype(np.float32)
 
 

@@ -53,10 +53,22 @@ def pr_curve(
     target: jnp.ndarray,
     pred: jnp.ndarray,
     thresholds: Optional[Sequence[float]] = None,
+    acceptance_div: int = 0,
+    seed: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Precision/recall/IoU across decode thresholds, one device pass per
     threshold (the reference dumps voxels to txt and sweeps offline in a
-    notebook)."""
+    notebook).
+
+    ``acceptance_div > 0`` appends the notebook's acceptance-probability
+    tail (modelnetAE3.ipynb cell 2): for each ``accept_prob = 0.1**i``,
+    ``i in [0, acceptance_div)``, only voxels predicted at saturating
+    probability (pred >= 1.0) are kept, each accepted independently with
+    ``accept_prob`` — extending the curve into the extreme high-precision /
+    vanishing-recall corner. Those rows are returned in the same
+    precision/recall/iou arrays; ``accept_prob`` is NaN for the plain
+    threshold rows and holds the acceptance probability for tail rows
+    (their ``threshold`` entry is 1.0, the saturation cut)."""
     if thresholds is None:
         thresholds = np.linspace(0.05, 0.95, 19)
     ps, rs, ious = [], [], []
@@ -65,8 +77,24 @@ def pr_curve(
         ps.append(float(jnp.mean(tp / (tp + fp + 1e-10))))
         rs.append(float(jnp.mean(tp / (tp + fn + 1e-10))))
         ious.append(float(jnp.mean(tp / (tp + fp + fn + 1e-10))))
+    thr_col = list(np.asarray(thresholds, np.float32))
+    accept_col = [np.nan] * len(thr_col)
+    for i in range(acceptance_div):
+        accept_prob = 0.1 ** i
+        key = jax.random.PRNGKey(seed * 1000 + i)
+        # pred >= 1.0, then a Bernoulli(accept_prob) keep mask — the
+        # notebook's np.random.choice([0,1], p=[1-p, p]) on device
+        keep = jax.random.bernoulli(key, accept_prob, jnp.shape(pred))
+        pred_t = jnp.where(keep, pred, 0.0)
+        tp, fp, fn = voxel_tp_fp_fn(target, pred_t, threshold=1.0)
+        ps.append(float(jnp.mean(tp / (tp + fp + 1e-10))))
+        rs.append(float(jnp.mean(tp / (tp + fn + 1e-10))))
+        ious.append(float(jnp.mean(tp / (tp + fp + fn + 1e-10))))
+        thr_col.append(1.0)
+        accept_col.append(accept_prob)
     return {
-        "threshold": np.asarray(thresholds, np.float32),
+        "threshold": np.asarray(thr_col, np.float32),
+        "accept_prob": np.asarray(accept_col, np.float32),
         "precision": np.asarray(ps, np.float32),
         "recall": np.asarray(rs, np.float32),
         "iou": np.asarray(ious, np.float32),

@@ -91,6 +91,45 @@ class TestNoisy:
             noisy(rng, "nope", img)
 
 
+class TestPhotometric:
+    def test_hue_sat_jitter_changes_chroma(self):
+        """datasetUtils.py:76 AddToHueAndSaturation((-20,20)): with every
+        other op's coin forced off, the hue/sat branch must change pixel
+        chroma but keep shape/range; grayscale inputs must pass through the
+        function unchanged in shape."""
+        from anytime3d_tpu.data.augment import photometric_augment
+
+        # deterministic rng: first five coins (brightness/contrast/blur/
+        # invert/noise) high, hue/sat coin low
+        class FakeRng:
+            def __init__(self):
+                self._coins = iter([0.9, 0.9, 0.9, 0.9, 0.9, 0.0])
+
+            def random(self):
+                return next(self._coins)
+
+            def uniform(self, lo, hi):
+                return 15.0
+
+            def normal(self, *a, **k):
+                raise AssertionError("noise branch must be off")
+
+            def integers(self, *a, **k):
+                raise AssertionError("blur branch must be off")
+
+        img = np.zeros((8, 8, 3), np.float32)
+        img[..., 0] = 200.0  # saturated red: hue shift must move channels
+        out = photometric_augment(FakeRng(), img)
+        assert out.shape == img.shape
+        assert out.dtype == np.float32
+        assert (out >= 0).all() and (out <= 255).all()
+        assert not np.allclose(out, img), "hue/sat jitter did not change the image"
+
+        gray = np.full((8, 8), 100.0, np.float32)
+        out_gray = photometric_augment(FakeRng(), gray)
+        assert out_gray.shape == gray.shape  # 2D input skips the chroma op
+
+
 class TestSyntheticLoader:
     def test_batches_and_epochs(self):
         loader = SyntheticVoxelLoader(num_samples=64, dim=16, num_classes=4)

@@ -108,6 +108,32 @@ class TestEvaluationProtocols:
         assert (np.diff(curve["recall"]) <= 1e-6).all()
         assert curve["precision"].shape == curve["threshold"].shape
 
+    def test_pr_curve_acceptance_tail(self):
+        """modelnetAE3.ipynb cell 2: the tail keeps only saturating
+        predictions (>= 1.0), each accepted with prob 0.1**i — row i=0
+        (accept everything) must match an exact threshold-1.0 row, and
+        recall must fall as the acceptance probability shrinks."""
+        rng = np.random.default_rng(1)
+        pred = rng.uniform(size=(4, 8, 8, 8, 1)).astype(np.float32)
+        pred[pred > 0.8] = 1.0  # a saturating cluster for the tail to keep
+        target = (rng.uniform(size=pred.shape) > 0.5).astype(np.float32)
+        curve = pr_curve(jnp.asarray(target), jnp.asarray(pred), acceptance_div=3)
+        n_thr = 19
+        assert len(curve["precision"]) == n_thr + 3
+        assert np.isnan(curve["accept_prob"][:n_thr]).all()
+        np.testing.assert_allclose(curve["accept_prob"][n_thr:], [1.0, 0.1, 0.01])
+        # i=0 keeps every voxel: identical to a plain threshold-1.0 sweep
+        from anytime3d_tpu.ops import voxel_tp_fp_fn
+
+        tp, fp, fn = voxel_tp_fp_fn(jnp.asarray(target), jnp.asarray(pred), 1.0)
+        np.testing.assert_allclose(
+            curve["recall"][n_thr],
+            float(jnp.mean(tp / (tp + fn + 1e-10))),
+            rtol=1e-6,
+        )
+        tail_recall = curve["recall"][n_thr:]
+        assert (np.diff(tail_recall) <= 1e-6).all(), tail_recall
+
     def test_category_vectors(self):
         model, state, batch = _setup()
         vecs = category_vectors(model, state.params, lambda b: batch, num_classes=5, num_batches=2)
