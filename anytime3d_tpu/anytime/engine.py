@@ -89,6 +89,7 @@ def anytime_eval(
     prior_means: Optional[jnp.ndarray] = None,
     correction: str = "resample",
     gamma: float = 0.6,
+    return_pred: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Run the reference getEval protocol (nolbo.py:161-259) on a batch.
 
@@ -96,7 +97,9 @@ def anytime_eval(
     category priornet, they are computed from it over all K one-hots; for
     AE/VAE variants pass external ``category_vectors`` mean latents
     (nolbo.py:632-698). Returns uncorrected and (when missing_prob>0)
-    corrected metrics.
+    corrected metrics. ``return_pred=True`` additionally returns the decoded
+    grids under ``pred``/``pred_corrected`` — the arrays the reference dumps
+    to .npy for the offline PR-curve notebook (test_modelnet_3D.py:124-143).
     """
     cfg = model.config
     # independent epsilon per latent block: the reference draws the category
@@ -181,6 +184,8 @@ def anytime_eval(
     tp, fp, fn = voxel_tp_fp_fn(target, pred)
     metrics["precision"] = jnp.mean(tp / (tp + fp + 1e-10))
     metrics["recall"] = jnp.mean(tp / (tp + fn + 1e-10))
+    if return_pred:
+        metrics["pred"] = pred
 
     if missing_prob <= 0.0:
         return metrics
@@ -201,6 +206,8 @@ def anytime_eval(
     tp, fp, fn = voxel_tp_fp_fn(target, pred_c)
     metrics["precision_corrected"] = jnp.mean(tp / (tp + fp + 1e-10))
     metrics["recall_corrected"] = jnp.mean(tp / (tp + fn + 1e-10))
+    if return_pred:
+        metrics["pred_corrected"] = pred_c
     return metrics
 
 

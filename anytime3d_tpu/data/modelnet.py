@@ -76,9 +76,17 @@ class ModelNetLoader:
 
 
 class SyntheticVoxelLoader:
-    """Drop-in ModelNetLoader replacement producing procedural shapes
-    (axis-aligned boxes/ellipsoids per class) for tests and benches when the
-    dataset is absent. Deterministic under seed."""
+    """Drop-in ModelNetLoader replacement producing procedural shapes for
+    tests, benches and dataset-free quality runs. Deterministic under seed.
+
+    Class-informative by construction (the quality-parity requirement): each
+    class owns a shape family (8 families) AND class-specific canonical
+    half-extents; each instance perturbs those deterministically; each sample
+    adds small jitter plus one of 4 yaw rotations — mirroring the reference
+    dataset's ``4rot`` augmentation (modelnet_dataset.py:33). Nearest-prior
+    classification and anytime correction are therefore learnable, unlike a
+    label-independent shape soup. Voxels are generated once at construction
+    (the reference loader also holds everything in RAM)."""
 
     def __init__(
         self,
@@ -97,21 +105,69 @@ class SyntheticVoxelLoader:
         rng = np.random.default_rng(seed)
         self._labels = rng.integers(0, num_classes, num_samples)
         self._insts = rng.integers(0, num_inst, num_samples)
-        self._params = rng.uniform(0.2, 0.45, size=(num_samples, 3))
+        # class canonical extents: one draw per class from a class-keyed
+        # stream, shared by every loader instance with any seed
+        class_rng = np.random.default_rng(12345)
+        class_params = class_rng.uniform(0.18, 0.42, size=(num_classes, 3))
+        inst_rng = np.random.default_rng(54321)
+        inst_scale = inst_rng.uniform(0.85, 1.15, size=(num_classes, num_inst, 3))
+        jitter = rng.uniform(0.95, 1.05, size=(num_samples, 3))
+        self._params = (
+            class_params[self._labels] * inst_scale[self._labels, self._insts] * jitter
+        ).astype(np.float32)
+        self._rots = rng.integers(0, 4, num_samples)
         self._idx = np.arange(num_samples)
         self._rng = rng
         coords = (np.arange(dim) + 0.5) / dim - 0.5
         self._grid = np.stack(np.meshgrid(coords, coords, coords, indexing="ij"), -1)
+        self._cache = np.stack(
+            [self._generate(i) for i in range(num_samples)]
+        ).astype(bool)
 
-    def _make(self, i: int) -> np.ndarray:
-        label = self._labels[i]
+    def _generate(self, i: int) -> np.ndarray:
+        """Occupancy for sample i: family = class % 8, rotated by the
+        sample's yaw quarter-turn."""
+        label = int(self._labels[i])
         a, b, c = self._params[i]
         g = self._grid
-        if label % 2 == 0:  # ellipsoid
-            occ = (g[..., 0] / a) ** 2 + (g[..., 1] / b) ** 2 + (g[..., 2] / c) ** 2 <= 1.0
-        else:  # box
-            occ = (np.abs(g[..., 0]) <= a) & (np.abs(g[..., 1]) <= b) & (np.abs(g[..., 2]) <= c)
-        return occ.astype(np.float32)
+        x, y, z = g[..., 0], g[..., 1], g[..., 2]
+        family = label % 8
+        if family == 0:  # ellipsoid
+            occ = (x / a) ** 2 + (y / b) ** 2 + (z / c) ** 2 <= 1.0
+        elif family == 1:  # box
+            occ = (np.abs(x) <= a) & (np.abs(y) <= b) & (np.abs(z) <= c)
+        elif family == 2:  # y-axis elliptic cylinder
+            occ = ((x / a) ** 2 + (z / c) ** 2 <= 1.0) & (np.abs(y) <= b)
+        elif family == 3:  # hollow box (shell)
+            outer = (np.abs(x) <= a) & (np.abs(y) <= b) & (np.abs(z) <= c)
+            inner = (
+                (np.abs(x) <= 0.6 * a) & (np.abs(y) <= 0.6 * b) & (np.abs(z) <= 0.6 * c)
+            )
+            occ = outer & ~inner
+        elif family == 4:  # three-axis cross of slabs
+            t = 0.35
+            sx = (np.abs(x) <= a) & (np.abs(y) <= t * b) & (np.abs(z) <= t * c)
+            sy = (np.abs(x) <= t * a) & (np.abs(y) <= b) & (np.abs(z) <= t * c)
+            sz = (np.abs(x) <= t * a) & (np.abs(y) <= t * b) & (np.abs(z) <= c)
+            occ = sx | sy | sz
+        elif family == 5:  # wedge/pyramid tapering upward in y
+            t = np.clip((b - y) / (2.0 * b), 0.0, 1.0)
+            occ = (np.abs(x) <= a * t) & (np.abs(z) <= c * t) & (np.abs(y) <= b)
+        elif family == 6:  # torus about y
+            ring = np.sqrt(x**2 + z**2) - a
+            occ = ring**2 + (y / max(b, 1e-3) * 0.4 * a) ** 2 <= (0.4 * a) ** 2
+        else:  # capsule along y
+            r = 0.5 * (a + c) * 0.6
+            seg = np.clip(y, -b + r, b - r)
+            occ = x**2 + (y - seg) ** 2 + z**2 <= r**2
+        occ = occ.astype(np.float32)
+        k = int(self._rots[i])
+        if k:
+            occ = np.rot90(occ, k=k, axes=(0, 2)).copy()
+        return occ
+
+    def _make(self, i: int) -> np.ndarray:
+        return self._cache[i].astype(np.float32)
 
     def getNextBatch(self, batchSize: int = 32) -> Dict[str, np.ndarray]:
         if self.batchStart + batchSize > self.dataLength:
@@ -120,7 +176,7 @@ class SyntheticVoxelLoader:
             self.batchStart = 0
         sel = self._idx[self.batchStart : self.batchStart + batchSize]
         self.batchStart += batchSize
-        vox = np.stack([self._make(i) for i in sel])[..., None]
+        vox = self._cache[sel].astype(np.float32)[..., None]
         cls = np.eye(self._num_classes, dtype=np.float32)[self._labels[sel]]
         inst = np.eye(self._num_inst, dtype=np.float32)[self._insts[sel]]
         return {"input_images": vox, "class_list": cls, "inst_list": inst}
