@@ -24,7 +24,10 @@ import argparse
 import dataclasses
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def classic_layout(model_cfg):
@@ -53,11 +56,18 @@ def main(argv=None):
     p.add_argument("--classic", action="store_true",
                    help="classic reference layout instead of the blocked TPU layout")
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon platform pin is "
+                        "latched; only jax.config.update can override it)")
     p.add_argument("--out", required=True)
     p.add_argument("--jsonl", default=None, help="training metrics JSONL path")
     p.add_argument("--eval-batches", type=int, default=16)
     args = p.parse_args(argv)
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from anytime3d_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache("/tmp/anytime3d_jax_cache")
