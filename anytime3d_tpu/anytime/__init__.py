@@ -11,6 +11,7 @@ from anytime3d_tpu.anytime.engine import (
     GaussianBelief,
     fuse_observation,
     fuse_sequence,
+    fuse_sequence_sharded,
 )
 from anytime3d_tpu.anytime.reconstructor import AnytimeReconstructor
 
@@ -21,5 +22,6 @@ __all__ = [
     "GaussianBelief",
     "fuse_observation",
     "fuse_sequence",
+    "fuse_sequence_sharded",
     "AnytimeReconstructor",
 ]

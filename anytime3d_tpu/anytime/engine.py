@@ -292,3 +292,59 @@ def fuse_sequence(
         masks = jnp.ones_like(means)
     belief, _ = jax.lax.scan(step, prior, (means, log_vars, masks))
     return belief
+
+
+def fuse_sequence_sharded(
+    mesh,
+    means: jnp.ndarray,
+    log_vars: jnp.ndarray,
+    masks: Optional[jnp.ndarray] = None,
+    prior: Optional[GaussianBelief] = None,
+    axis: str = "data",
+) -> GaussianBelief:
+    """``fuse_sequence`` with the observation stream sharded over a mesh axis.
+
+    The information-filter update is a per-dim SUM of (mask·precision,
+    mask·precision·mean) over observations, so it is associative and
+    order-free: each device scans only its T/n local shard of the stream and
+    ONE psum over ``axis`` combines the partial information states. This is
+    the mesh-scaled form of the reference's per-observation update loop
+    (/root/reference/src/module/nolbo.py:199-208), which is strictly
+    sequential on host RNG; here T observations fuse in T/n scan steps plus
+    one collective. Exactly equal to the sequential result (the adds commute;
+    fp32 reduction order differs only at the psum).
+
+    Args:
+      mesh: a ``jax.sharding.Mesh`` containing ``axis``.
+      means/log_vars/masks: (T, ...) stacked observations; T must divide by
+        the axis size.
+      prior: optional starting belief (added once, on every device's result).
+    """
+    n = mesh.shape[axis]
+    T = means.shape[0]
+    if T % n != 0:
+        raise ValueError(f"stream length {T} % mesh axis '{axis}'={n} != 0")
+    if masks is None:
+        masks = jnp.ones_like(means)
+    if prior is None:
+        prior = GaussianBelief.uninformative(means.shape[1:])
+
+    from jax.sharding import PartitionSpec as P
+
+    def local_fuse(means_l, lvs_l, masks_l):
+        # zero-information start: the prior joins once, outside the psum.
+        # (derived from the operand so the scan carry is device-varying)
+        zero = GaussianBelief(info=means_l[0] * 0.0, precision=means_l[0] * 0.0)
+        b = fuse_sequence(means_l, lvs_l, masks_l, prior=zero)
+        return jax.lax.psum(b.info, axis), jax.lax.psum(b.precision, axis)
+
+    spec = P(axis)
+    info, prec = jax.shard_map(
+        local_fuse,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(P(), P()),
+    )(means, log_vars, masks)
+    return GaussianBelief(
+        info=prior.info + info, precision=prior.precision + prec
+    )

@@ -137,3 +137,38 @@ class TestGaussianFusion:
         for t in range(5):
             loop = fuse_observation(loop, means[t], lvs[t])
         assert np.allclose(np.asarray(seq.mean), np.asarray(loop.mean), rtol=1e-5)
+
+    def test_fuse_sequence_sharded_matches_sequential(self):
+        # VERDICT r1 item 7: the shard_map path over the 'data' mesh axis must
+        # equal the sequential scan (precision adds are associative)
+        from anytime3d_tpu.anytime import fuse_sequence_sharded
+        from anytime3d_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=8, model=1)
+        rng = np.random.default_rng(2)
+        T, B, D = 24, 4, 6
+        means = jnp.asarray(rng.normal(size=(T, B, D)).astype(np.float32))
+        lvs = jnp.asarray(rng.normal(size=(T, B, D)).astype(np.float32) * 0.3)
+        masks = jnp.asarray((rng.uniform(size=(T, B, D)) > 0.4).astype(np.float32))
+        prior = GaussianBelief.from_moments(
+            jnp.asarray(rng.normal(size=(B, D)).astype(np.float32)),
+            jnp.zeros((B, D), jnp.float32),
+        )
+        seq = fuse_sequence(means, lvs, masks, prior=prior)
+        shd = fuse_sequence_sharded(mesh, means, lvs, masks, prior=prior)
+        np.testing.assert_allclose(
+            np.asarray(shd.precision), np.asarray(seq.precision), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(shd.mean), np.asarray(seq.mean), rtol=1e-4, atol=1e-5
+        )
+
+    def test_fuse_sequence_sharded_rejects_ragged_stream(self):
+        from anytime3d_tpu.anytime import fuse_sequence_sharded
+        from anytime3d_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=8, model=1)
+        with np.testing.assert_raises(ValueError):
+            fuse_sequence_sharded(
+                mesh, jnp.zeros((10, 3)), jnp.zeros((10, 3))
+            )
