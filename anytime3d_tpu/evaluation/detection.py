@@ -49,6 +49,44 @@ def _iou(a: np.ndarray, b: np.ndarray) -> float:
     return inter / area if area > 0 else 0.0
 
 
+def average_precision(
+    detections, gt_count: int, iou_thresh: float = 0.5
+) -> float:
+    """VOC-style AP at one IoU threshold from score-ranked detections.
+
+    ``detections``: list of (score, is_tp) over the WHOLE eval set, matched
+    greedily per image (each GT consumed at most once — the matching in
+    ``evaluate_detector``); ``gt_count``: total ground-truth boxes. Computes
+    the precision envelope over the recall axis (the all-points
+    interpolation). The reference draws boxes without metrics
+    (nolbo_test.py:81-188); this is the standard closing protocol.
+    """
+    if gt_count == 0:
+        return 0.0
+    if not detections:
+        return 0.0
+    order = np.argsort([-s for s, _ in detections], kind="stable")
+    tp_cum = fp_cum = 0
+    precisions, recalls = [], []
+    for i in order:
+        if detections[i][1]:
+            tp_cum += 1
+        else:
+            fp_cum += 1
+        precisions.append(tp_cum / (tp_cum + fp_cum))
+        recalls.append(tp_cum / gt_count)
+    # monotone precision envelope, integrate over recall steps
+    prec = np.asarray(precisions)
+    rec = np.asarray(recalls)
+    for i in range(len(prec) - 2, -1, -1):
+        prec[i] = max(prec[i], prec[i + 1])
+    ap, prev_r = 0.0, 0.0
+    for p, r in zip(prec, rec):
+        ap += p * (r - prev_r)
+        prev_r = r
+    return float(ap)
+
+
 def evaluate_detector(
     model: DetectorReconstructor,
     params,
@@ -69,6 +107,7 @@ def evaluate_detector(
     )
     tp = fp = fn_ = 0
     ori_err, n_matched = 0.0, 0
+    scored: list = []  # (score, is_tp) across the whole set, for AP
     for b in range(num_batches):
         batch = batch_fn(b)
         images = np.asarray(batch["images"])
@@ -95,6 +134,7 @@ def evaluate_detector(
                 if best >= 0:
                     taken[best] = True
                     tp += 1
+                    scored.append((float(boxes[j, 4]), True))
                     r, c, k = gt_idx[best]
                     gs = np.asarray(batch["sin"][i][r, c, k])
                     gc = np.asarray(batch["cos"][i][r, c, k])
@@ -104,10 +144,12 @@ def evaluate_detector(
                     n_matched += 1
                 else:
                     fp += 1
+                    scored.append((float(boxes[j, 4]), False))
             fn_ += int((~taken).sum())
     return {
         "det_precision": tp / max(tp + fp, 1),
         "det_recall": tp / max(tp + fn_, 1),
+        "map50": average_precision(scored, gt_count=tp + fn_, iou_thresh=iou_thresh),
         "ori_mae_rad": ori_err / max(n_matched, 1),
         "num_tp": float(tp),
         "num_fp": float(fp),

@@ -1,0 +1,177 @@
+"""Detector-reconstructor quality runner (VERDICT r1 item #6).
+
+Trains DetectorReconstructor on the synthetic multi-object scene curriculum
+(no real Pascal/KITTI grids ship in this image), then:
+- runs the detection protocol: P/R at IoU 0.5, mAP@0.5 (VOC all-points AP),
+  matched orientation MAE (evaluation/detection.py);
+- runs ONE full ``scene_reconstruction`` frame end-to-end (detect -> decode
+  shapes -> lift to metric poses -> project 3D boxes) and renders the
+  overlay artifact the reference's visualizer draws by hand
+  (/root/reference/src/visualizer/visualizer.py:208-308,
+  /root/reference/src/module/nolbo_test.py:81-188).
+
+Usage:
+  python benchmarks/detector_quality.py --steps 4000 \
+      --out docs/results/detector.json --artifact docs/results/detector_scene.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=4000)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--image-size", type=int, nargs=2, default=(128, 96),
+                   metavar=("COLS", "ROWS"))
+    p.add_argument("--grid-size", type=int, nargs=2, default=(4, 3),
+                   metavar=("COLS", "ROWS"))
+    p.add_argument("--voxel-dim", type=int, default=32)
+    p.add_argument("--max-slots", type=int, default=8)
+    p.add_argument("--learning-rate", type=float, default=1e-4)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--eval-batches", type=int, default=8)
+    p.add_argument("--out", required=True)
+    p.add_argument("--artifact", default=None, help="scene overlay PNG path")
+    p.add_argument("--jsonl", default=None)
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from anytime3d_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache("/tmp/anytime3d_jax_cache")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anytime3d_tpu.data import SyntheticMultiObjectLoader
+    from anytime3d_tpu.data.collate import collate_multiobject
+    from anytime3d_tpu.evaluation.detection import evaluate_detector
+    from anytime3d_tpu.models.detector import DetectorConfig, DetectorReconstructor
+    from anytime3d_tpu.nn.autoencoder3d import Decoder3DConfig
+    from anytime3d_tpu.train import create_train_state
+    from anytime3d_tpu.train.detector_step import (
+        DetectorLossConfig,
+        make_detector_train_step,
+    )
+    from anytime3d_tpu.train.trainer import Trainer, TrainerConfig
+
+    image_size = tuple(args.image_size)
+    grid_size = tuple(args.grid_size)
+    d = args.voxel_dim
+    train_ld = SyntheticMultiObjectLoader(
+        num_samples=1024, dim=d, image_size=image_size, grid_size=grid_size, seed=0
+    )
+    eval_ld = SyntheticMultiObjectLoader(
+        num_samples=256, dim=d, image_size=image_size, grid_size=grid_size, seed=1
+    )
+
+    n_strides = 3 if d >= 32 else 2
+    decoder = Decoder3DConfig(
+        input_dim=16,
+        output_shape=(d, d, d, 1),
+        filter_nums=(128, 64, 32)[:n_strides] + (1,),
+        filter_sizes=(4,) * (n_strides + 1),
+        strides=(1,) + (2,) * n_strides,
+    )
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = DetectorReconstructor(DetectorConfig(decoder=decoder), dtype=dtype)
+
+    def make_batch_fn(loader):
+        def batch_fn(_it):
+            images, targets, voxel_lists = loader.getNextBatch(args.batch_size)
+            b = collate_multiobject(
+                images, targets, voxel_lists, max_slots=args.max_slots
+            )
+            return {k: jnp.asarray(v) for k, v in b.items()}
+
+        return batch_fn
+
+    state = create_train_state(
+        model,
+        jnp.zeros((args.batch_size, image_size[1], image_size[0], 3), dtype),
+        jax.random.PRNGKey(0),
+        learning_rate=args.learning_rate,
+    )
+    step = make_detector_train_step(model, DetectorLossConfig(), donate=True)
+    trainer = Trainer(
+        model,
+        state,
+        make_batch_fn(train_ld),
+        config=TrainerConfig(
+            total_steps=args.steps, log_every=200, jsonl_path=args.jsonl
+        ),
+        step_fn=step,
+    )
+    t0 = time.time()
+    final_state = trainer.run(epoch_fn=lambda: train_ld.epoch)
+    train_s = time.time() - t0
+    final_train = {k: round(v, 5) for k, v in trainer.logger.means().items()}
+    print(f"\ntrained {args.steps} steps in {train_s:.1f}s; final:", final_train)
+
+    # fixed eval batches so detection metrics are reproducible
+    eval_batches = [make_batch_fn(eval_ld)(i) for i in range(args.eval_batches)]
+    det = evaluate_detector(
+        model, final_state.params, lambda i: eval_batches[i],
+        num_batches=args.eval_batches, obj_thresh=0.5,
+    )
+    # AP benefits from the full score range: rerun matching at a low threshold
+    det_lowt = evaluate_detector(
+        model, final_state.params, lambda i: eval_batches[i],
+        num_batches=args.eval_batches, obj_thresh=0.1,
+    )
+    det["map50_full_curve"] = det_lowt["map50"]
+    print("detection eval:", {k: round(float(v), 4) for k, v in det.items()})
+
+    artifact = None
+    if args.artifact:
+        from anytime3d_tpu.evaluation.viz import draw_scene
+        from anytime3d_tpu.models.pipeline import scene_reconstruction
+
+        frame = np.asarray(eval_batches[0]["images"][0:1], np.float32)
+        scene = scene_reconstruction(
+            model, final_state.params, jnp.asarray(frame), jax.random.PRNGKey(0),
+            image_size_px=image_size, obj_thresh=0.3,
+        )
+        img = draw_scene(frame[0], {k: np.asarray(v) for k, v in scene.items()})
+        os.makedirs(os.path.dirname(args.artifact) or ".", exist_ok=True)
+        import cv2
+
+        cv2.imwrite(args.artifact, img[..., ::-1])  # RGB -> BGR on disk
+        artifact = args.artifact
+        n_valid = int(np.asarray(scene["valid"]).sum())
+        print(f"scene artifact: {artifact} ({n_valid} detections drawn)")
+
+    result = {
+        "steps": args.steps,
+        "batch_size": args.batch_size,
+        "image_size": list(image_size),
+        "grid_size": list(grid_size),
+        "voxel_dim": d,
+        "dtype": "bfloat16" if args.bf16 else "float32",
+        "train_seconds": round(train_s, 1),
+        "final_train": final_train,
+        "detection": {k: round(float(v), 5) for k, v in det.items()},
+        "artifact": artifact,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
