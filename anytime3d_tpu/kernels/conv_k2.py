@@ -1,4 +1,11 @@
-"""Pallas TPU kernel (EXPERIMENTAL, off by default): fused 2x2x2 s=1 3D conv.
+"""Pallas reference kernel (DECIDED: XLA conv is production — docs/KERNELS.md):
+fused 2x2x2 s=1 3D conv.
+
+The roofline analysis in docs/KERNELS.md closes SURVEY §7.3: the XLA conv
+lowering runs the flagship k=2 stages at ~96 TF/s in-graph and every
+alternative formulation measured slower; this kernel is retained
+interpreter-mode as the documented attempt (oracle-tested), not a pending
+experiment.
 
 The blocked encoder/decoder layouts (nn/autoencoder3d.py) turn every
 stride-2 stage of the reference's 64^3 stacks (src/net_core/autoencoder3D.py:
