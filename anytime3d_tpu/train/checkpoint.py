@@ -8,6 +8,14 @@ cross-experiment composability (pull an ImageNet-pretrained backbone or a
 grafting named param subtrees between checkpoints — submodule names are the
 param-tree keys (``backbone``, ``head``, ``encoder3d``, ``decoder``,
 ``prior_category``, ``prior_inst``).
+
+Multi-host: every save/restore here is a COLLECTIVE — when
+``jax.process_count() > 1`` all processes must call it with their addressable
+shards of the same global arrays (Orbax coordinates the barrier over
+jax.distributed and writes one atomic checkpoint on the shared filesystem).
+Saves go through a process-wide ``AsyncCheckpointer`` so device->host copies
+overlap training; ``wait_for_saves()`` (or the next save) fences. Exercised
+for real in the 2-process test (tests/_multihost_child.py).
 """
 
 from __future__ import annotations
@@ -20,21 +28,49 @@ import orbax.checkpoint as ocp
 
 from anytime3d_tpu.train.state import TrainState
 
+_ASYNC: Optional[ocp.AsyncCheckpointer] = None
+
 
 def _checkpointer() -> ocp.Checkpointer:
     return ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
 
 
-def save_state(path: str, state: TrainState) -> None:
-    """Save the full train state (params + optimizer + step) atomically."""
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    """Process-wide async checkpointer (holds the background write thread).
+
+    A singleton so sequential saves serialize against each other (Orbax
+    waits for the in-flight write before starting the next) and so
+    ``wait_for_saves`` has something to fence."""
+    global _ASYNC
+    if _ASYNC is None:
+        _ASYNC = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC
+
+
+def wait_for_saves() -> None:
+    """Block until every pending async save has committed to disk."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
+
+
+def save_state(path: str, state: TrainState, *, wait: bool = True) -> None:
+    """Save the full train state (params + optimizer + step) atomically.
+
+    ``wait=False`` returns after the device->host snapshot; the serialize +
+    atomic rename finish on a background thread (fence with
+    ``wait_for_saves``). Safe under multi-host: the call is collective."""
     payload = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
-    _checkpointer().save(os.path.abspath(path), payload, force=True)
+    ckptr = _async_checkpointer()
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    if wait:
+        ckptr.wait_until_finished()
 
 
 def restore_state(path: str, state: TrainState) -> TrainState:
     """Restore a full train state; ``state`` provides the pytree structure
     (and shardings, when its leaves are sharded arrays)."""
     template = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    wait_for_saves()  # the checkpoint may still be committing in background
     restored = _checkpointer().restore(os.path.abspath(path), item=template)
     return state.replace(
         params=restored["params"],

@@ -173,7 +173,9 @@ class Trainer:
                     break
 
             if cfg.save_path and (it + 1) % cfg.save_every == 0:
-                save_state(cfg.save_path, self.state)
+                # async: device->host snapshot now, commit in background —
+                # training overlaps the serialize (restore_state fences)
+                save_state(cfg.save_path, self.state, wait=False)
                 last_saved_step = it
 
             if self.eval_batch_fn is not None and (it + 1) % cfg.eval_every == 0:

@@ -94,9 +94,36 @@ def main():
     loss = float(metrics["loss_total"])
     assert np.isfinite(loss), metrics
     # one more step to prove the updated sharded state is reusable
-    _, metrics2 = step(new_state, batch, jax.random.PRNGKey(2))
+    # (the step donates its input state; keep only the freshest)
+    new_state, metrics2 = step(new_state, batch, jax.random.PRNGKey(2))
     loss2 = float(metrics2["loss_total"])
     assert np.isfinite(loss2), metrics2
+
+    # collective multi-host checkpoint: every process saves its addressable
+    # shards, Orbax coordinates the barrier + atomic commit; restore into a
+    # zeroed state and verify the round trip (train/checkpoint.py multihost
+    # contract)
+    ckpt_dir = os.environ.get("MULTIHOST_CKPT_DIR")
+    if ckpt_dir:
+        from anytime3d_tpu.train.checkpoint import (
+            restore_state,
+            save_state,
+            wait_for_saves,
+        )
+
+        save_state(os.path.join(ckpt_dir, "state"), new_state, wait=False)
+        wait_for_saves()
+        zeroed = new_state.replace(
+            params=jax.tree_util.tree_map(jnp.zeros_like, new_state.params),
+            step=jnp.zeros_like(new_state.step),
+        )
+        back = restore_state(os.path.join(ckpt_dir, "state"), zeroed)
+        assert int(back.step) == int(new_state.step), (back.step, new_state.step)
+        a = jax.tree_util.tree_leaves(back.params)[0]
+        b = jax.tree_util.tree_leaves(new_state.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        print(f"MULTIHOST_CKPT_OK pid={pid}", flush=True)
+
     print(f"MULTIHOST_OK pid={pid} loss={loss:.6f} loss2={loss2:.6f}", flush=True)
 
 

@@ -27,7 +27,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_train_step():
+def test_two_process_distributed_train_step(tmp_path):
     port = _free_port()
     env_base = {
         k: v
@@ -42,6 +42,7 @@ def test_two_process_distributed_train_step():
             COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
             NUM_PROCESSES="2",
             PROCESS_ID=str(pid),
+            MULTIHOST_CKPT_DIR=str(tmp_path),
         )
         procs.append(
             subprocess.Popen(
@@ -68,6 +69,8 @@ def test_two_process_distributed_train_step():
         m = re.search(r"MULTIHOST_OK pid=\d+ loss=([\d.]+) loss2=([\d.]+)", out)
         assert m, out[-4000:]
         losses.append((float(m.group(1)), float(m.group(2))))
+        # collective async checkpoint save + restore round-tripped on each host
+        assert "MULTIHOST_CKPT_OK" in out, out[-4000:]
     # the psum'd global loss must be identical on every host
     assert losses[0] == pytest.approx(losses[1], abs=1e-5), losses
     # and training must actually move the loss between the two steps
