@@ -9,6 +9,7 @@ from anytime3d_tpu.anytime.engine import (
     classify_by_prior,
     correct_latent,
     GaussianBelief,
+    anytime_eval_jit,
     fuse_observation,
     fuse_sequence,
     fuse_sequence_sharded,
@@ -20,6 +21,7 @@ __all__ = [
     "classify_by_prior",
     "correct_latent",
     "GaussianBelief",
+    "anytime_eval_jit",
     "fuse_observation",
     "fuse_sequence",
     "fuse_sequence_sharded",

@@ -80,6 +80,35 @@ def correct_latent(
 # full anytime evaluation protocol
 # --------------------------------------------------------------------------
 
+def anytime_eval_jit(
+    model: MultiModalVAE,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    missing_prob: float = 0.0,
+    prior_means: Optional[jnp.ndarray] = None,
+    correction: str = "resample",
+    gamma: float = 0.6,
+    return_pred: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """``anytime_eval`` under jit (model + protocol knobs static).
+
+    The protocol is ~10² ops; eager per-op dispatch is ruinous on a remote
+    (axon-tunneled) backend, so every evaluation loop should go through this.
+    A positive ``missing_prob`` is passed TRACED, so every rate of a
+    missing-rate sweep shares one compiled program; rate 0.0 (no masking,
+    fewer outputs) compiles separately."""
+    if missing_prob and float(missing_prob) > 0.0:
+        return _ANYTIME_EVAL_JIT_MASKED(
+            model, params, batch, key, jnp.float32(missing_prob), prior_means,
+            correction, gamma, return_pred,
+        )
+    return _ANYTIME_EVAL_JIT_CLEAN(
+        model, params, batch, key, 0.0, prior_means, correction, gamma,
+        return_pred,
+    )
+
+
 def anytime_eval(
     model: MultiModalVAE,
     params,
@@ -102,6 +131,12 @@ def anytime_eval(
     to .npy for the offline PR-curve notebook (test_modelnet_3D.py:124-143).
     """
     cfg = model.config
+    # a traced (jnp scalar) missing_prob means "masking on, rate data-driven"
+    masked = (
+        True
+        if not isinstance(missing_prob, (int, float))
+        else missing_prob > 0.0
+    )
     # independent epsilon per latent block: the reference draws the category
     # and instance samples separately (nolbo.py:184-197)
     k_sample_cat, k_sample_inst, k_mask, k_corr = jax.random.split(key, 4)
@@ -134,7 +169,7 @@ def anytime_eval(
     )
 
     # ---- anytime mask: missing dims <- mean of prior means (nolbo.py:200-208)
-    if missing_prob > 0.0:
+    if masked:
         keep = jax.random.bernoulli(k_mask, 1.0 - missing_prob, z_cat.shape)
         mask = keep.astype(z_cat.dtype)
         fill = jnp.mean(prior_means, axis=0)
@@ -187,7 +222,7 @@ def anytime_eval(
     if return_pred:
         metrics["pred"] = pred
 
-    if missing_prob <= 0.0:
+    if not masked:
         return metrics
 
     # ---- correction pass (nolbo.py:239-259)
@@ -348,3 +383,13 @@ def fuse_sequence_sharded(
     return GaussianBelief(
         info=prior.info + info, precision=prior.precision + prec
     )
+
+
+# masked: missing_prob traced (arg 4 dynamic) — one compile per sweep;
+# clean: missing_prob static 0.0 (different output set)
+_ANYTIME_EVAL_JIT_MASKED = jax.jit(
+    anytime_eval, static_argnums=(0, 6, 7, 8)
+)
+_ANYTIME_EVAL_JIT_CLEAN = jax.jit(
+    anytime_eval, static_argnums=(0, 4, 6, 7, 8)
+)

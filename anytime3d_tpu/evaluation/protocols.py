@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from anytime3d_tpu.anytime import anytime_eval
+from anytime3d_tpu.anytime import anytime_eval_jit
 from anytime3d_tpu.models.mmvae import MultiModalVAE
 from anytime3d_tpu.ops import voxel_tp_fp_fn
 
@@ -39,7 +39,7 @@ def missing_rate_sweep(
         sums: Dict[str, float] = {}
         for b in range(num_batches):
             key = jax.random.PRNGKey(seed * 10_000 + int(rate * 100) * 100 + b)
-            metrics = anytime_eval(
+            metrics = anytime_eval_jit(
                 model, params, batch_fn(b), key,
                 missing_prob=rate, prior_means=prior_means,
             )
@@ -71,25 +71,47 @@ def pr_curve(
     (their ``threshold`` entry is 1.0, the saturation cut)."""
     if thresholds is None:
         thresholds = np.linspace(0.05, 0.95, 19)
+
+    # ONE compiled program per sweep (threshold is traced, remote-dispatch
+    # friendly); eager per-threshold reduction is slow on a tunneled backend
+    @jax.jit
+    def _prf(tgt, prd, thr):
+        tp, fp, fn = voxel_tp_fp_fn(tgt, prd, threshold=thr)
+        return (
+            jnp.mean(tp / (tp + fp + 1e-10)),
+            jnp.mean(tp / (tp + fn + 1e-10)),
+            jnp.mean(tp / (tp + fp + fn + 1e-10)),
+        )
+
     ps, rs, ious = [], [], []
     for t in thresholds:
-        tp, fp, fn = voxel_tp_fp_fn(target, pred, threshold=float(t))
-        ps.append(float(jnp.mean(tp / (tp + fp + 1e-10))))
-        rs.append(float(jnp.mean(tp / (tp + fn + 1e-10))))
-        ious.append(float(jnp.mean(tp / (tp + fp + fn + 1e-10))))
+        p_, r_, i_ = _prf(target, pred, jnp.float32(t))
+        ps.append(float(p_))
+        rs.append(float(r_))
+        ious.append(float(i_))
     thr_col = list(np.asarray(thresholds, np.float32))
     accept_col = [np.nan] * len(thr_col)
+
+    # pred >= 1.0, then a Bernoulli(accept_prob) keep mask — the notebook's
+    # np.random.choice([0,1], p=[1-p, p]) on device; ONE compile, prob traced
+    @jax.jit
+    def _accept_prf(tgt, prd, k, prob):
+        keep = jax.random.bernoulli(k, prob, jnp.shape(prd))
+        prd_t = jnp.where(keep, prd, 0.0)
+        tp, fp, fn = voxel_tp_fp_fn(tgt, prd_t, threshold=1.0)
+        return (
+            jnp.mean(tp / (tp + fp + 1e-10)),
+            jnp.mean(tp / (tp + fn + 1e-10)),
+            jnp.mean(tp / (tp + fp + fn + 1e-10)),
+        )
+
     for i in range(acceptance_div):
         accept_prob = 0.1 ** i
         key = jax.random.PRNGKey(seed * 1000 + i)
-        # pred >= 1.0, then a Bernoulli(accept_prob) keep mask — the
-        # notebook's np.random.choice([0,1], p=[1-p, p]) on device
-        keep = jax.random.bernoulli(key, accept_prob, jnp.shape(pred))
-        pred_t = jnp.where(keep, pred, 0.0)
-        tp, fp, fn = voxel_tp_fp_fn(target, pred_t, threshold=1.0)
-        ps.append(float(jnp.mean(tp / (tp + fp + 1e-10))))
-        rs.append(float(jnp.mean(tp / (tp + fn + 1e-10))))
-        ious.append(float(jnp.mean(tp / (tp + fp + fn + 1e-10))))
+        p_, r_, i_ = _accept_prf(target, pred, key, jnp.float32(accept_prob))
+        ps.append(float(p_))
+        rs.append(float(r_))
+        ious.append(float(i_))
         thr_col.append(1.0)
         accept_col.append(accept_prob)
     return {
@@ -112,9 +134,12 @@ def category_vectors(
     (test_modelnet_getLatents.py:93-115). Returns (num_classes, z_dim)."""
     sums = None
     counts = np.zeros(num_classes)
+    encode = jax.jit(
+        lambda p, x: model.apply({"params": p}, x, method=MultiModalVAE.encode)
+    )
     for b in range(num_batches):
         batch = batch_fn(b)
-        enc = model.apply({"params": params}, batch["input"], method=MultiModalVAE.encode)
+        enc = encode(params, batch["input"])
         z = np.asarray(enc.mean)
         labels = np.argmax(np.asarray(batch["category_onehot"]), axis=-1)
         if sums is None:
@@ -138,7 +163,7 @@ def evaluate_epoch(
     sums: Dict[str, float] = {}
     for b in range(num_batches):
         key = jax.random.PRNGKey(seed + b)
-        metrics = anytime_eval(
+        metrics = anytime_eval_jit(
             model, params, batch_fn(b), key,
             missing_prob=missing_prob, prior_means=prior_means,
         )

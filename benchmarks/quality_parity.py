@@ -83,7 +83,7 @@ def main(argv=None):
         missing_rate_sweep,
         pr_curve,
     )
-    from anytime3d_tpu.anytime import anytime_eval
+    from anytime3d_tpu.anytime import anytime_eval_jit
     from anytime3d_tpu.models import configs
     from anytime3d_tpu.models.mmvae import MultiModalVAE
     from anytime3d_tpu.train import create_train_state
@@ -111,8 +111,28 @@ def main(argv=None):
         out["category_onehot"] = jnp.asarray(b["class_list"])
         return out
 
+    # train batches ride the production bit-packed transfer (cli/train.py
+    # --packed): 32x less host->device traffic — essential over the axon
+    # tunnel, where raw 64^3 float batches are minutes-per-step slow
+    from anytime3d_tpu.data.packing import pack_voxels, pack_voxels_blocked
+    from anytime3d_tpu.models.mmvae import blocked_io_block
+
+    block = blocked_io_block(model_cfg)
+
+    def to_train_batch(b):
+        if block is not None:
+            out = {
+                "input_packed_blocked": jnp.asarray(
+                    pack_voxels_blocked(b["input_images"], block)
+                )
+            }
+        else:
+            out = {"input_packed": jnp.asarray(pack_voxels(b["input_images"]))}
+        out["category_onehot"] = jnp.asarray(b["class_list"])
+        return out
+
     def train_batch_fn(_it):
-        return to_batch(train_ld.getNextBatch(args.batch_size))
+        return to_train_batch(train_ld.getNextBatch(args.batch_size))
 
     # fixed eval batches, reused identically across rates/models
     eval_ld_batches = [
@@ -173,7 +193,7 @@ def main(argv=None):
     preds, preds_c, targets = [], [], []
     for i in range(min(8, args.eval_batches)):
         b = eval_batch_fn(i)
-        m = anytime_eval(
+        m = anytime_eval_jit(
             model, params, b, jax.random.PRNGKey(7000 + i),
             missing_prob=0.3, prior_means=prior_means, return_pred=True,
         )
