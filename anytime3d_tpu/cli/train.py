@@ -65,7 +65,14 @@ def build_batch_fn(loader, model_cfg, batch_size=32, image_size=None, multi_scal
             cls = None
         else:  # pascal-style (inst, cls, sin, cos, images, voxels)
             inst, cls, _sin, _cos, images, voxels = b
-        out = {"input": jnp.asarray(images), "target": jnp.asarray(voxels)}
+        out = {"input": jnp.asarray(images)}
+        if packed:
+            # image->shape: the 64^3 target still rides the 32x bit transfer
+            from anytime3d_tpu.data.packing import pack_voxels
+
+            out["target_packed"] = jnp.asarray(pack_voxels(np.asarray(voxels)))
+        else:
+            out["target"] = jnp.asarray(voxels)
         if cls is not None and (model_cfg.prior_category is not None or model_cfg.category_dim):
             out["category_onehot"] = jnp.asarray(cls)
         if model_cfg.inst_dim:

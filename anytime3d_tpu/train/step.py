@@ -190,6 +190,12 @@ def materialize_batch(model, batch):
 
     block = getattr(model, "blocked_io_block", None)
     grid = model.config.decoder.output_shape
+    if "target_packed" in batch:
+        # explicit packed target (image->shape loaders: input is the image,
+        # the 64^3 voxel target still rides the 32x-smaller bit transfer)
+        tgt = unpack_voxels(batch["target_packed"], grid)
+        batch = {k: v for k, v in batch.items() if k != "target_packed"}
+        batch = dict(batch, target=tgt)
     if "input_packed_blocked" in batch:
         if block is None:
             raise ValueError(
@@ -199,7 +205,10 @@ def materialize_batch(model, batch):
         vox = unpack_voxels_blocked(batch["input_packed_blocked"], grid, block)
         out = {k: v for k, v in batch.items() if k != "input_packed_blocked"}
         out["input"] = vox
-        out.setdefault("target", vox)
+        if "target" in out:  # explicit target joins the blocked layout
+            out["target"] = space_to_depth3d(out["target"], block)
+        else:
+            out["target"] = vox
         return out, True
     if "input_packed" in batch:
         vox = unpack_voxels(batch["input_packed"], grid)
@@ -207,7 +216,11 @@ def materialize_batch(model, batch):
             vox = space_to_depth3d(vox, block)
         out = {k: v for k, v in batch.items() if k != "input_packed"}
         out["input"] = vox
-        out.setdefault("target", vox)
+        if "target" in out:
+            if block is not None:
+                out["target"] = space_to_depth3d(out["target"], block)
+        else:
+            out["target"] = vox
         return out, block is not None
     if block is not None:
         out = dict(batch)

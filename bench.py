@@ -23,6 +23,124 @@ import numpy as np
 # 32) on the v5e bench chip, measured 2026-08-17 — the denominator for
 # vs_baseline. Re-measured only if the bench config changes.
 BASELINE_VOXELS_PER_S = 2.89e8
+# First measurements of the secondary families (2026-08-20, v5e, bf16) —
+# their vs_baseline is the regression ratio against these fixed points.
+BASELINE_IMAGE_VOXELS_PER_S = 6.03e8
+BASELINE_DETECTOR_IMAGES_PER_S = 432.0
+
+
+def _fence_time(step_fn, state, batch, iters=20):
+    """Timed loop with a device->host scalar fetch as the completion fence
+    (jax.block_until_ready returns at ENQUEUE on the axon tunnel)."""
+    import os
+    import jax
+    import time as _t
+
+    iters = int(os.environ.get("ANYTIME3D_BENCH_ITERS", iters))
+
+    for i in range(3):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+    float(next(iter(metrics.values())))
+    t0 = _t.perf_counter()
+    for i in range(iters):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(100 + i))
+    float(next(iter(metrics.values())))
+    return _t.perf_counter() - t0
+
+
+def bench_image():
+    """Image->shape family: Darknet19 backbone + head -> dual latent -> 64³
+    decoder, the reference's train_pascal.py hot loop (SURVEY §3.2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from anytime3d_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from anytime3d_tpu.models import configs
+    from anytime3d_tpu.models.mmvae import MultiModalVAE
+    from anytime3d_tpu.train import create_train_state, make_train_step
+    from anytime3d_tpu.data.packing import pack_voxels
+
+    batch_size = 32
+    model_cfg, loss_cfg = configs.variant("pascal_nolbo")
+    model = MultiModalVAE(model_cfg, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    images = rng.uniform(size=(batch_size, 96, 128, 3)).astype(np.float32)
+    vox = (rng.uniform(size=(batch_size, 64, 64, 64, 1)) > 0.7).astype(np.float32)
+    n_cat, n_inst = model_cfg.category_dim, model_cfg.inst_dim
+    batch = {
+        "input": jnp.asarray(images),
+        "target_packed": jnp.asarray(pack_voxels(vox)),
+        "category_onehot": jnp.asarray(
+            np.eye(n_cat, dtype=np.float32)[rng.integers(0, n_cat, batch_size)]
+        ),
+        "inst_onehot": jnp.asarray(
+            np.eye(n_inst, dtype=np.float32)[rng.integers(0, n_inst, batch_size)]
+        ),
+    }
+    state = create_train_state(model, jnp.asarray(images), jax.random.PRNGKey(0))
+    step = make_train_step(model, loss_cfg, donate=True)
+    dt = _fence_time(step, state, batch, iters=20)
+    vps = batch_size * 64**3 * 20 / dt
+    print(json.dumps({
+        "metric": "pascal_nolbo_train_voxels_per_s",
+        "value": round(vps, 1),
+        "unit": "voxels/s",
+        "vs_baseline": round(vps / BASELINE_IMAGE_VOXELS_PER_S, 3),
+    }))
+
+
+def bench_detector():
+    """Detector family: Darknet19 -> YOLO-style grid head train step
+    (the reference ships this path inference-only, nolbo_test.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from anytime3d_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from anytime3d_tpu.models.detector import DetectorConfig, DetectorReconstructor
+    from anytime3d_tpu.nn.autoencoder3d import Decoder3DConfig
+    from anytime3d_tpu.train import create_train_state
+    from anytime3d_tpu.train.detector_step import (
+        DetectorLossConfig,
+        make_detector_train_step,
+    )
+
+    batch_size = 16
+    gh, gw, p = 3, 4, 5
+    d = 32
+    decoder = Decoder3DConfig(
+        input_dim=16, output_shape=(d, d, d, 1), filter_nums=(128, 64, 32, 1),
+        filter_sizes=(4, 4, 4, 4), strides=(1, 2, 2, 2),
+    )
+    model = DetectorReconstructor(DetectorConfig(decoder=decoder), dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    max_slots = 8
+    batch = {
+        "images": jnp.asarray(rng.uniform(size=(batch_size, 96, 128, 3)).astype(np.float32)),
+        "objness": jnp.asarray((rng.uniform(size=(batch_size, gh, gw, p, 1)) > 0.9).astype(np.float32)),
+        "bbox": jnp.asarray(rng.uniform(size=(batch_size, gh, gw, p, 4)).astype(np.float32)),
+        "sin": jnp.asarray(rng.uniform(-1, 1, size=(batch_size, gh, gw, p, 3)).astype(np.float32)),
+        "cos": jnp.asarray(rng.uniform(-1, 1, size=(batch_size, gh, gw, p, 3)).astype(np.float32)),
+        "voxel_slot": jnp.asarray(rng.integers(-1, max_slots, size=(batch_size, gh, gw, p)).astype(np.int32)),
+        "voxels": jnp.asarray((rng.uniform(size=(batch_size, max_slots, d, d, d, 1)) > 0.7).astype(np.float32)),
+    }
+    state = create_train_state(model, batch["images"], jax.random.PRNGKey(0))
+    step = make_detector_train_step(model, DetectorLossConfig(), donate=True)
+    dt = _fence_time(step, state, batch, iters=20)
+    ips = batch_size * 20 / dt
+    print(json.dumps({
+        "metric": "detector_train_images_per_s",
+        "value": round(ips, 1),
+        "unit": "images/s",
+        "vs_baseline": round(ips / BASELINE_DETECTOR_IMAGES_PER_S, 3),
+    }))
 
 
 def main():
@@ -88,4 +206,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    # driver contract: bare `python bench.py` prints exactly ONE JSON line
+    # (the flagship). `--family image|detector` benches the secondary
+    # families; `--all` prints all three lines, flagship last.
+    if "--all" in sys.argv:
+        bench_image()
+        bench_detector()
+        main()
+    elif "--family" in sys.argv:
+        fam = sys.argv[sys.argv.index("--family") + 1]
+        {"image": bench_image, "detector": bench_detector, "modelnet": main}[fam]()
+    else:
+        main()

@@ -209,3 +209,31 @@ class TestBlockedLossEquivalence:
         }
         with pytest.raises(ValueError):
             compute_losses(model, LossConfig(), state.params, batch, jax.random.PRNGKey(0), True)
+
+
+class TestTargetPacked:
+    """Explicit packed targets (image->shape loaders): target_packed must
+    equal the dense-target batch bit-for-bit, in both model layouts."""
+
+    def test_target_packed_matches_dense_blocked_model(self):
+        helper = TestBlockedLossEquivalence()
+        model, params, vox, labels = helper._setup()
+        key = jax.random.PRNGKey(11)
+        rng = np.random.default_rng(3)
+        tgt = (rng.uniform(size=vox.shape) > 0.6).astype(np.float32)
+        dense = {
+            "input": jnp.asarray(vox),
+            "target": jnp.asarray(tgt),
+            "category_onehot": jnp.asarray(labels),
+        }
+        packed = {
+            "input_packed_blocked": jnp.asarray(pack_voxels_blocked(vox)),
+            "target_packed": jnp.asarray(pack_voxels(tgt)),
+            "category_onehot": jnp.asarray(labels),
+        }
+        _, m_dense = compute_losses(model, LossConfig(), params, dense, key, True)
+        _, m_packed = compute_losses(model, LossConfig(), params, packed, key, True)
+        for k in m_dense:
+            np.testing.assert_allclose(
+                float(m_dense[k]), float(m_packed[k]), rtol=1e-5, err_msg=k
+            )
