@@ -113,3 +113,27 @@ class AnytimeReconstructor:
         if squeeze:
             return GaussianBelief(info=fused.info[0], precision=fused.precision[0])
         return fused
+
+    def observe_stream(
+        self,
+        belief: GaussianBelief,
+        means,
+        log_vars,
+        masks=None,
+        mesh=None,
+        axis: str = "data",
+    ) -> GaussianBelief:
+        """Fuse a stacked (T, ...) stream of observations in one shot.
+
+        Sequential ``lax.scan`` by default; pass a ``jax.sharding.Mesh`` to
+        shard the stream over ``axis`` (fuse_sequence_sharded: per-device
+        partial information sums + one psum — bit-compatible with the scan
+        up to fp reduction order). The batched form of the reference's
+        per-observation update loop (nolbo.py:199-208)."""
+        from anytime3d_tpu.anytime.engine import fuse_sequence, fuse_sequence_sharded
+
+        if mesh is not None:
+            return fuse_sequence_sharded(
+                mesh, means, log_vars, masks, prior=belief, axis=axis
+            )
+        return fuse_sequence(means, log_vars, masks, prior=belief)

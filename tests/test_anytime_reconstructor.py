@@ -38,6 +38,33 @@ class TestAnytimeReconstructor:
         shape = self.rec.decode(belief)
         assert shape.shape[-4:] == (16, 16, 16, 1)
 
+    def test_observe_stream_matches_loop_and_shards(self):
+        from anytime3d_tpu.parallel import make_mesh
+
+        belief0 = self.rec.new_object()
+        rng = np.random.default_rng(1)
+        mean, lv = self.rec.encode_observation(self.batch["input"][:1])
+        mean, lv = mean[0], lv[0]
+        T = 8
+        means = jnp.stack([mean + 0.01 * t for t in range(T)])
+        lvs = jnp.stack([lv for _ in range(T)])
+        masks = jnp.asarray(
+            (rng.uniform(size=(T,) + mean.shape) > 0.5).astype(np.float32)
+        )
+        loop = belief0
+        for t in range(T):
+            loop = self.rec.observe(loop, means[t], lvs[t], masks[t])
+        stream = self.rec.observe_stream(belief0, means, lvs, masks)
+        np.testing.assert_allclose(
+            np.asarray(stream.precision), np.asarray(loop.precision), rtol=1e-5
+        )
+        sharded = self.rec.observe_stream(
+            belief0, means, lvs, masks, mesh=make_mesh(data=8, model=1)
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.mean), np.asarray(loop.mean), rtol=1e-4, atol=1e-6
+        )
+
     def test_classify_returns_index(self):
         belief = self.rec.new_object()
         mean, lv = self.rec.encode_observation(self.batch["input"][:1])
