@@ -1,0 +1,138 @@
+"""Serving-layer tests: AOT export roundtrip + micro-batcher semantics.
+
+The exported program is the deterministic serving subset of the anytime
+protocol (encode -> masked-distance classify -> prior-fill -> decode,
+/root/reference/src/module/nolbo.py:214-259); these tests pin (a) the
+export/deserialize roundtrip is bit-identical to direct apply, (b) a server
+process needs only the serialized bytes, (c) the batcher pads short groups
+to the one compiled shape and routes per-item results correctly under
+concurrent submission."""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anytime3d_tpu.models.mmvae import MultiModalVAE
+from anytime3d_tpu.serving import (
+    MicroBatcher,
+    export_infer,
+    load_infer,
+    make_infer_fn,
+)
+from anytime3d_tpu.train import create_train_state
+
+from tests.test_train import synth_batch, tiny_voxel_cfg
+
+DIM = 16
+Z = 8
+
+
+def _make_model(with_prior=True):
+    cfg = tiny_voxel_cfg(variational=True, with_prior=with_prior, z=Z)
+    model = MultiModalVAE(cfg)
+    batch = synth_batch(n=4)
+    state = create_train_state(model, batch["input"], jax.random.PRNGKey(0))
+    return model, state.params, batch
+
+
+class TestExportRoundtrip:
+    def test_serialized_matches_direct(self, tmp_path):
+        model, params, batch = _make_model()
+        x = batch["input"]
+        mask = jnp.ones((4, Z), jnp.float32)
+
+        direct = make_infer_fn(model)(params, x, mask)
+        data = export_infer(model, params, input_shape=(4, DIM, DIM, DIM, 1))
+        assert isinstance(data, bytes) and len(data) > 0
+
+        # disk roundtrip: the server side loads bytes only
+        p = tmp_path / "model.stablehlo"
+        p.write_bytes(data)
+        served = load_infer(p.read_bytes())(x, mask)
+
+        assert set(served) == set(direct)
+        for k in direct:
+            np.testing.assert_allclose(
+                np.asarray(served[k]), np.asarray(direct[k]), rtol=1e-5, atol=1e-5
+            )
+
+    def test_masked_dims_filled_from_prior(self):
+        """With a fully-masked latent the decoded shape must depend only on
+        the prior (nolbo.py:239-243): two different inputs give one output."""
+        model, params, _ = _make_model()
+        rng = np.random.default_rng(1)
+        x1 = jnp.asarray((rng.uniform(size=(2, DIM, DIM, DIM, 1)) > 0.5).astype(np.float32))
+        x2 = jnp.asarray((rng.uniform(size=(2, DIM, DIM, DIM, 1)) > 0.5).astype(np.float32))
+        mask = jnp.zeros((2, Z), jnp.float32)
+        fn = make_infer_fn(model)
+        o1, o2 = fn(params, x1, mask), fn(params, x2, mask)
+        # class may differ (masked distance is 0 for all classes -> argmin 0
+        # deterministic), so compare pred given equal class choices
+        np.testing.assert_array_equal(np.asarray(o1["category"]), np.asarray(o2["category"]))
+        np.testing.assert_allclose(
+            np.asarray(o1["pred"]), np.asarray(o2["pred"]), rtol=1e-6
+        )
+
+    def test_no_prior_variant_exports(self):
+        """AE/VAE variants (no priornet) export without a category head."""
+        model, params, batch = _make_model(with_prior=False)
+        data = export_infer(model, params, input_shape=(4, DIM, DIM, DIM, 1))
+        out = load_infer(data)(batch["input"], jnp.ones((4, Z), jnp.float32))
+        assert "category" not in out
+        assert out["pred"].shape == (4, DIM, DIM, DIM, 1)
+
+
+class TestMicroBatcher:
+    def test_pads_and_routes_concurrent(self):
+        model, params, _ = _make_model()
+        data = export_infer(model, params, input_shape=(4, DIM, DIM, DIM, 1))
+        fn = load_infer(data)
+        direct = make_infer_fn(model)
+
+        rng = np.random.default_rng(2)
+        items = [
+            (rng.uniform(size=(DIM, DIM, DIM, 1)) > 0.5).astype(np.float32)
+            for _ in range(11)  # 11 % 4 != 0: forces a padded final group
+        ]
+        futures = [None] * len(items)
+        with MicroBatcher(
+            fn, batch_size=4, input_shape=(DIM, DIM, DIM, 1), mask_dim=Z
+        ) as mb:
+            def submit(i):
+                futures[i] = mb.submit(items[i])
+
+            threads = [threading.Thread(target=submit, args=(i,)) for i in range(len(items))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            results = [f.result(timeout=60) for f in futures]
+
+        # every per-item result matches a direct single-item padded call
+        mask = jnp.ones((4, Z), jnp.float32)
+        for i, r in enumerate(results):
+            xb = np.zeros((4, DIM, DIM, DIM, 1), np.float32)
+            xb[0] = items[i]
+            ref = direct(params, jnp.asarray(xb), mask)
+            np.testing.assert_allclose(
+                np.asarray(r["pred"]), np.asarray(ref["pred"])[0], rtol=1e-4, atol=1e-4
+            )
+            assert r["pred"].shape == (DIM, DIM, DIM, 1)
+
+    def test_rejects_bad_shape_and_closed(self):
+        model, params, _ = _make_model()
+        fn = jax.jit(lambda x, m: make_infer_fn(model)(params, x, m))
+        mb = MicroBatcher(fn, batch_size=2, input_shape=(DIM, DIM, DIM, 1), mask_dim=Z)
+        try:
+            import pytest
+
+            with pytest.raises(ValueError):
+                mb.submit(np.zeros((2, 2), np.float32))
+        finally:
+            mb.close()
+        import pytest
+
+        with pytest.raises(RuntimeError):
+            mb.submit(np.zeros((DIM, DIM, DIM, 1), np.float32))
