@@ -52,12 +52,17 @@ def focal_binary_loss(
     - ``b_range`` optionally shifts targets from {0,1} to {-1,2}
       (the AE3D input remap trick, src/module/AE3D.py:69-70).
     ``pred`` holds probabilities in (0,1); they are clipped to
-    [epsilon, 1-epsilon] before the log.
+    [epsilon, 1-epsilon] before the log. The math runs in float32 regardless
+    of input dtype: in bf16 the upper clip bound 1-1e-7 rounds to 1.0, so a
+    saturated prediction yields log(0) = -inf and 0·(-inf) = NaN on occupied
+    voxels (seen as loss_shape=NaN in converged bf16 eval sweeps).
     """
     b = 1.0 if b_range else 0.0
     n = pred.shape[0]
-    pred = jnp.clip(pred.reshape(n, -1), epsilon, 1.0 - epsilon)
-    target = target.reshape(n, -1)
+    pred = jnp.clip(
+        pred.reshape(n, -1).astype(jnp.float32), epsilon, 1.0 - epsilon
+    )
+    target = target.reshape(n, -1).astype(jnp.float32)
     y = -b + (2.0 * b + 1.0) * target
     loss = -(gamma * y * jnp.log(pred) + (1.0 - gamma) * (1.0 - y) * jnp.log(1.0 - pred))
     return jnp.sum(loss, axis=-1)

@@ -79,6 +79,19 @@ class TestFocalBinaryLoss:
         loss = float(ops.focal_binary_loss(jnp.clip(target, 1e-7, 1 - 1e-7), target)[0])
         assert loss < 0.01 * 64
 
+    def test_bf16_saturated_pred_finite(self):
+        """Regression: bf16 sigmoid saturates to exactly 0.0/1.0 and the
+        clip bound 1-1e-7 rounds to 1.0 in bf16, so without an internal f32
+        cast the loss is 0*log(0) = NaN (seen as loss_shape=NaN in converged
+        bf16 eval sweeps)."""
+        pred = jnp.ones((2, 4, 4, 4, 1), jnp.bfloat16)
+        target = jnp.ones((2, 4, 4, 4, 1), jnp.bfloat16)
+        loss = np.asarray(ops.focal_binary_loss(pred, target))
+        assert np.all(np.isfinite(loss))
+        pred0 = jnp.zeros((2, 4, 4, 4, 1), jnp.bfloat16)
+        loss0 = np.asarray(ops.focal_binary_loss(pred0, 1.0 - target))
+        assert np.all(np.isfinite(loss0))
+
 
 class TestPriorRepulsion:
     def test_far_apart_only_diagonal(self):
