@@ -9,11 +9,47 @@ XLA into the consumer.
 
 from __future__ import annotations
 
+import ctypes
 import math
-from typing import Sequence, Tuple
+import os
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
+
+_PACK_LIB: Optional[ctypes.CDLL] = None
+_PACK_LIB_TRIED = False
+
+
+def _find_pack_lib() -> Optional[ctypes.CDLL]:
+    """native/libpack.so if built. ANYTIME3D_PACK_LIB: a path overrides the
+    default candidate (sanitizer builds); ''/'0'/'off'/'none' force the
+    NumPy path (same conventions as ANYTIME3D_AUGMENT_LIB)."""
+    global _PACK_LIB, _PACK_LIB_TRIED
+    if _PACK_LIB_TRIED:
+        return _PACK_LIB
+    _PACK_LIB_TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = os.environ.get("ANYTIME3D_PACK_LIB")
+    if env is not None and env.strip().lower() in ("", "0", "off", "none"):
+        return None
+    candidates = [env or "", os.path.join(here, "native", "libpack.so")]
+    for path in (c for c in candidates if c):
+        if os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(path)
+                lib.pack_blocked_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+                ]
+                lib.pack_blocked_batch.restype = ctypes.c_int32
+                _PACK_LIB = lib
+                break
+            except OSError:  # pragma: no cover
+                continue
+    return _PACK_LIB
 
 
 def pack_voxels(vox: np.ndarray) -> np.ndarray:
@@ -48,12 +84,35 @@ def pack_voxels_blocked(vox: np.ndarray, block: int = 4) -> np.ndarray:
     device-side unpack lands DIRECTLY in the blocked layout the blocked-head
     encoder consumes (channel order (bd, bh, bw, c)) — no device relayout,
     and the fine grid with its lane-padded 1-wide channel dim never exists
-    on device. Host cost is one extra transpose before np.packbits."""
+    on device.
+
+    Host cost: a fused single-pass loop in native/pack.cpp when libpack.so
+    is built (threshold + blocked reorder + bit-pack — the NumPy
+    formulation's 8-d float transpose dominates end-to-end train pace on
+    tunneled devices); NumPy transpose + np.packbits otherwise. Both give
+    bit-identical output (tests/test_packing_native.py)."""
     v = np.asarray(vox)
     if v.ndim == 4:  # (B, D, H, W) -> add channel dim
         v = v[..., None]
     B, D, H, W, C = v.shape
     b = block
+    if D % b or H % b or W % b:
+        raise ValueError(f"grid {(D, H, W)} not divisible by block {b}")
+
+    lib = _find_pack_lib()
+    if lib is not None:
+        vf = np.ascontiguousarray(v, dtype=np.float32)
+        out = np.empty((B, (D * H * W * C + 7) // 8), np.uint8)
+        rc = lib.pack_blocked_batch(
+            vf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(B), D, H, W, C, b,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            min(8, os.cpu_count() or 1),
+        )
+        if rc == 0:
+            return out
+        # invalid-arg fall-through: NumPy oracle path below
+
     v = v.reshape(B, D // b, b, H // b, b, W // b, b, C)
     v = v.transpose(0, 1, 3, 5, 2, 4, 6, 7)
     return pack_voxels(v.reshape(B, -1))
