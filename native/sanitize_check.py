@@ -3,7 +3,8 @@ build (no JAX import).
 
 Usage: LD_PRELOAD=$(g++ -print-file-name=libasan.so) \
        ANYTIME3D_VOXELIZER_LIB=native/libvoxelizer_asan.so \
-       ANYTIME3D_AUGMENT_LIB=native/libaugment_asan.so python native/sanitize_check.py
+       ANYTIME3D_AUGMENT_LIB=native/libaugment_asan.so \
+       ANYTIME3D_PACK_LIB=native/libpack_asan.so python native/sanitize_check.py
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -34,4 +35,17 @@ boxes = rng.uniform(0, 1, (200, 5)).astype(np.float32)
 boxes[:, 2:4] += boxes[:, 0:2]
 keep = nms_native(boxes, 0.5)
 assert keep.dtype == np.bool_ and keep.shape == (200,)
+
+# blocked bit-packer across the batch thread pool (disjoint out rows;
+# point ANYTIME3D_PACK_LIB at libpack_{asan,tsan}.so)
+from anytime3d_tpu.data import packing
+if packing._find_pack_lib() is not None:
+    v = (rng.uniform(size=(16, 16, 16, 16, 1)) > 0.5).astype(np.float32)
+    got = packing.pack_voxels_blocked(v)
+    lib = packing._PACK_LIB
+    packing._PACK_LIB = None
+    want = packing.pack_voxels_blocked(v)
+    packing._PACK_LIB = lib
+    assert np.array_equal(got, want)
+
 print("sanitize_check ok")
