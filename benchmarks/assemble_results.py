@@ -129,19 +129,53 @@ def main(argv=None):
         lines.append("")
 
     if "modelnet_nolbo" in runs and "modelnet_nolbo_classic" in runs:
-        b = runs["modelnet_nolbo"]["eval_full"]
-        c = runs["modelnet_nolbo_classic"]["eval_full"]
-        lines.append("## Blocked vs classic layout A/B (convergence)")
+        rb, rc = runs["modelnet_nolbo"], runs["modelnet_nolbo_classic"]
+        b, c = rb["eval_full"], rc["eval_full"]
+        lines.append("## Blocked vs classic layout A/B")
         lines.append("")
-        lines.append("| layout | P | R | acc | shape loss |")
+        lines.append("Full-observation eval at each run's final step:")
+        lines.append("")
+        lines.append("| layout | steps | P | R | acc |")
         lines.append("|---|---|---|---|---|")
-        for label, m in (("blocked (TPU)", b), ("classic (reference)", c)):
+        for label, res, m in (
+            ("blocked (TPU)", rb, b), ("classic (reference)", rc, c),
+        ):
             lines.append(
-                f"| {label} | {f(m['precision'])} | {f(m['recall'])} | "
-                f"{f(m.get('acc_category', float('nan')))} | "
-                f"{f(m['loss_shape'], 2)} |"
+                f"| {label} | {res['steps']} | {f(m['precision'])} | "
+                f"{f(m['recall'])} | {f(m.get('acc_category', float('nan')))} |"
             )
         lines.append("")
+        # matched-step comparison from the training JSONLs (fair A/B when
+        # the runs trained different step counts)
+        curves = {}
+        for key, res in (("blocked", rb), ("classic", rc)):
+            path = os.path.join(args.results, f"train_{key}.jsonl")
+            if os.path.exists(path):
+                with open(path) as fh:
+                    curves[key] = [json.loads(ln) for ln in fh if ln.strip()]
+        if len(curves) == 2:
+            common = min(
+                curves["blocked"][-1]["step"], curves["classic"][-1]["step"]
+            )
+            rows = {
+                k: [r for r in v if r["step"] <= common][-5:]
+                for k, v in curves.items()
+            }
+            lines.append(
+                f"Training metrics near matched step {common} (mean of the "
+                "last 5 logged rows; docs/results/train_*.jsonl):"
+            )
+            lines.append("")
+            lines.append("| layout | P | R | shape loss |")
+            lines.append("|---|---|---|---|")
+            for k in ("blocked", "classic"):
+                rs = rows[k]
+                mean = lambda key: sum(r[key] for r in rs) / len(rs)
+                lines.append(
+                    f"| {k} | {f(mean('precision'))} | {f(mean('recall'))} | "
+                    f"{mean('loss_shape'):.0f} |"
+                )
+            lines.append("")
 
     if "detector" in runs:
         d = runs["detector"]["detection"]
