@@ -194,6 +194,36 @@ def main(argv=None):
             )
         lines.append("")
 
+    # ---- auto-checked summary of the reference's claimed behaviors
+    checks = []
+    for name in order:
+        res = runs[name]
+        sweep = res["sweep"]
+        rates = sorted(sweep, key=float)
+        rec = [sweep[r]["recall"] for r in rates]
+        mono = all(a >= b - 0.005 for a, b in zip(rec, rec[1:]))
+        checks.append(
+            f"- `{name}`: degradation monotone in missing rate: "
+            f"{'yes' if mono else 'NO'}"
+        )
+        if "acc_category_corrected" in sweep[rates[0]]:
+            acc_win = all(
+                sweep[r]["acc_category_corrected"] >= sweep[r]["acc_category"] - 0.005
+                for r in rates
+            )
+            n_rec = sum(
+                sweep[r]["recall_corrected"] >= sweep[r]["recall"] for r in rates
+            )
+            checks.append(
+                f"  correction: acc corrected >= uncorrected at "
+                f"{'every rate' if acc_win else 'NOT every rate'}; recall "
+                f"corrected wins at {n_rec}/{len(rates)} rates"
+            )
+    lines.append("## Summary (auto-checked)")
+    lines.append("")
+    lines.extend(checks)
+    lines.append("")
+
     with open(args.out, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("wrote", args.out, f"({len(order)} quality runs)")
