@@ -187,6 +187,9 @@ def main(argv=None):
             f"(full-curve {f(d.get('map50_full_curve', float('nan')))}) "
             f"orientation MAE {f(d['ori_mae_rad'])} rad"
         )
+        if runs["detector"].get("note"):
+            lines.append("")
+            lines.append(runs["detector"]["note"])
         if runs["detector"].get("artifact"):
             lines.append("")
             lines.append(
