@@ -40,6 +40,12 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--eval-batches", type=int, default=8)
+    p.add_argument("--train-samples", type=int, default=1024,
+                   help="distinct objects in the procedural curriculum; the "
+                   "1024 default memorizes — raise to train for held-out "
+                   "detection (docs/results/README.md)")
+    p.add_argument("--image-noise", type=float, default=0.0,
+                   help="train-time Gaussian pixel noise sigma (anti-overfit)")
     p.add_argument("--out", required=True)
     p.add_argument("--artifact", default=None, help="scene overlay PNG path")
     p.add_argument("--jsonl", default=None)
@@ -73,7 +79,8 @@ def main(argv=None):
     grid_size = tuple(args.grid_size)
     d = args.voxel_dim
     train_ld = SyntheticMultiObjectLoader(
-        num_samples=1024, dim=d, image_size=image_size, grid_size=grid_size, seed=0
+        num_samples=args.train_samples, dim=d, image_size=image_size,
+        grid_size=grid_size, seed=0
     )
     eval_ld = SyntheticMultiObjectLoader(
         num_samples=256, dim=d, image_size=image_size, grid_size=grid_size, seed=1
@@ -90,9 +97,15 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = DetectorReconstructor(DetectorConfig(decoder=decoder), dtype=dtype)
 
-    def make_batch_fn(loader):
+    def make_batch_fn(loader, noise=0.0, seed=0):
+        noise_rng = np.random.default_rng(seed)
+
         def batch_fn(_it):
             images, targets, voxel_lists = loader.getNextBatch(args.batch_size)
+            if noise > 0.0:
+                images = np.clip(
+                    images + noise_rng.normal(0.0, noise, images.shape), 0.0, 1.0
+                ).astype(np.float32)
             b = collate_multiobject(
                 images, targets, voxel_lists, max_slots=args.max_slots
             )
@@ -110,7 +123,7 @@ def main(argv=None):
     trainer = Trainer(
         model,
         state,
-        make_batch_fn(train_ld),
+        make_batch_fn(train_ld, noise=args.image_noise),
         config=TrainerConfig(
             total_steps=args.steps, log_every=200, jsonl_path=args.jsonl
         ),
@@ -162,6 +175,9 @@ def main(argv=None):
         "grid_size": list(grid_size),
         "voxel_dim": d,
         "dtype": "bfloat16" if args.bf16 else "float32",
+        "learning_rate": args.learning_rate,
+        "train_samples": args.train_samples,
+        "image_noise": args.image_noise,
         "train_seconds": round(train_s, 1),
         "final_train": final_train,
         "detection": {k: round(float(v), 5) for k, v in det.items()},
