@@ -29,7 +29,8 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import Future
+import time
+from concurrent.futures import Future, InvalidStateError
 from typing import Callable, Dict, Optional
 
 import numpy as np
@@ -59,6 +60,7 @@ class MicroBatcher:
         self._dtype = input_dtype
         self._q: "queue.Queue" = queue.Queue()
         self._closed = threading.Event()
+        self._submit_lock = threading.Lock()  # orders submit() vs close()
         self.batches_run = 0  # observability: compiled-shape dispatch count
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -68,21 +70,29 @@ class MicroBatcher:
         """Enqueue one item (shape ``input_shape``); resolves to the per-item
         output dict (numpy leaves). ``mask`` marks observed latent dims
         (defaults to all-observed)."""
-        if self._closed.is_set():
-            raise RuntimeError("MicroBatcher is closed")
         x = np.asarray(x, self._dtype)
         if x.shape != self._item_shape:
             raise ValueError(f"item shape {x.shape} != {self._item_shape}")
         if mask is None:
             mask = np.ones((self._mask_dim,), self._dtype)
+        mask = np.asarray(mask, self._dtype)
+        if mask.shape != (self._mask_dim,):
+            # validate HERE: a bad mask must fail the caller, not the worker
+            raise ValueError(f"mask shape {mask.shape} != ({self._mask_dim},)")
         fut: Future = Future()
-        self._q.put((x, np.asarray(mask, self._dtype), fut))
+        # lock closes the submit-vs-close race: an item can never be enqueued
+        # after the close sentinel (which would strand its future forever)
+        with self._submit_lock:
+            if self._closed.is_set():
+                raise RuntimeError("MicroBatcher is closed")
+            self._q.put((x, mask, fut))
         return fut
 
     def close(self):
         """Drain outstanding requests, then stop the worker."""
-        self._closed.set()
-        self._q.put(None)  # wake the worker
+        with self._submit_lock:
+            self._closed.set()
+            self._q.put(None)  # wake the worker; nothing can enqueue after
         self._worker.join()
 
     def __enter__(self):
@@ -102,15 +112,35 @@ class MicroBatcher:
         if first is None:
             return []
         group = [first]
+        # single deadline from the first item — max added latency is
+        # max_wait_s total, not (batch_size-1) * max_wait_s of per-item
+        # timeouts under a trickling arrival pattern
+        deadline = time.monotonic() + self._wait
         while len(group) < self._b:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                nxt = self._q.get(timeout=self._wait)
+                nxt = self._q.get(timeout=remaining)
             except queue.Empty:
                 break
             if nxt is None:
                 break
             group.append(nxt)
         return group
+
+    @staticmethod
+    def _resolve(fut: Future, value=None, exc: Optional[BaseException] = None):
+        """Deliver a result without ever killing the worker: a future the
+        client cancelled (e.g. after a result(timeout=...) expiry) raises
+        InvalidStateError on set — its client is gone; drop it."""
+        try:
+            if exc is not None:
+                fut.set_exception(exc)
+            else:
+                fut.set_result(value)
+        except InvalidStateError:
+            pass
 
     def _run(self):
         while True:
@@ -120,18 +150,21 @@ class MicroBatcher:
                     return
                 continue
             n = len(group)
-            xs = np.zeros((self._b,) + self._item_shape, self._dtype)
-            masks = np.ones((self._b, self._mask_dim), self._dtype)
-            for i, (x, m, _) in enumerate(group):
-                xs[i] = x
-                masks[i] = m
+            # the ENTIRE group handling is fenced: any failure (device error,
+            # bad output pytree, ...) resolves every waiter instead of
+            # killing the worker and deadlocking all future submits
             try:
+                xs = np.zeros((self._b,) + self._item_shape, self._dtype)
+                masks = np.ones((self._b, self._mask_dim), self._dtype)
+                for i, (x, m, _) in enumerate(group):
+                    xs[i] = x
+                    masks[i] = m
                 out = self._fn(jnp.asarray(xs), jnp.asarray(masks))
                 out = {k: np.asarray(v) for k, v in out.items()}
                 self.batches_run += 1
             except Exception as e:  # propagate to every waiter in the group
                 for _, _, fut in group:
-                    fut.set_exception(e)
+                    self._resolve(fut, exc=e)
                 continue
             for i in range(n):
-                group[i][2].set_result({k: v[i] for k, v in out.items()})
+                self._resolve(group[i][2], {k: v[i] for k, v in out.items()})

@@ -48,7 +48,8 @@ def make_infer_fn(
     ``mask`` is a (B, z_cat_dim) 0/1 array of OBSERVED latent dims — all-ones
     for full observations; a real partial observation marks its missing dims
     0 and the function fills them with the prior-corrected values
-    (nolbo.py:239-243) before decoding. Outputs:
+    (nolbo.py:239-243) before decoding — class-prior means when the model
+    has priors, the N(0, I) prior mean (zeros) otherwise. Outputs:
 
     - ``z_mean``: full posterior mean (B, z_dim) — the latent the mapping
       backend fuses (``anytime.engine.fuse_observation``);
@@ -87,6 +88,11 @@ def make_infer_fn(
             else:
                 cls = classify_by_prior(z_cat, pm_c)
             out["category"] = cls
+        elif correction:
+            # no class priors (VAE/AE variants): the latent prior is N(0, I)
+            # (or undefined for AE), so the fill for missing dims is the
+            # prior mean 0 — never the raw unobserved encoder values.
+            z_cat = jnp.where(mask > 0, z_cat, jnp.zeros_like(z_cat))
 
         z_parts = [z_cat]
         lv_parts = [lv_cat if lv_cat is not None else jnp.zeros_like(z_cat)]

@@ -109,7 +109,10 @@ def graft_submodule(
     if submodule not in state.params:
         raise KeyError(f"model has no submodule {submodule!r}; has {list(state.params)}")
     # restore without a template: the donor checkpoint's structure may differ
-    # from this model everywhere except the grafted subtree
+    # from this model everywhere except the grafted subtree. NOTE: this reads
+    # the WHOLE donor state (incl. ~2x-params Adam moments) to keep one
+    # subtree — acceptable at this repo's model sizes (<100 MB); for large
+    # donors switch to Orbax partial restore (restore_args/transforms).
     restored = _checkpointer().restore(os.path.abspath(donor_path))
     donor_params = restored["params"]
     if donor_submodule not in donor_params:

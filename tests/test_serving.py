@@ -136,3 +136,56 @@ class TestMicroBatcher:
 
         with pytest.raises(RuntimeError):
             mb.submit(np.zeros((DIM, DIM, DIM, 1), np.float32))
+
+    def test_bad_mask_rejected_in_submit(self):
+        """A wrong-shaped mask must fail the CALLER; before the r2 fix it
+        raised in the worker thread (outside its try), killing it and
+        deadlocking every later submit."""
+        import pytest
+
+        model, params, _ = _make_model()
+        fn = jax.jit(lambda x, m: make_infer_fn(model)(params, x, m))
+        with MicroBatcher(
+            fn, batch_size=2, input_shape=(DIM, DIM, DIM, 1), mask_dim=Z
+        ) as mb:
+            with pytest.raises(ValueError):
+                mb.submit(
+                    np.zeros((DIM, DIM, DIM, 1), np.float32),
+                    mask=np.ones((Z + 1,), np.float32),
+                )
+            # worker must still be alive and serving
+            out = mb.submit(np.zeros((DIM, DIM, DIM, 1), np.float32)).result(60)
+            assert out["pred"].shape == (DIM, DIM, DIM, 1)
+
+    def test_cancelled_future_does_not_kill_worker(self):
+        """set_result on a client-cancelled Future raises InvalidStateError;
+        the worker must drop it and keep serving the rest of the group."""
+        model, params, _ = _make_model()
+        fn = jax.jit(lambda x, m: make_infer_fn(model)(params, x, m))
+        x = np.zeros((DIM, DIM, DIM, 1), np.float32)
+        with MicroBatcher(
+            fn, batch_size=2, input_shape=(DIM, DIM, DIM, 1), mask_dim=Z,
+            max_wait_s=0.2,
+        ) as mb:
+            f1 = mb.submit(x)
+            assert f1.cancel()  # never marked running -> cancellable
+            f2 = mb.submit(x)  # same coalesced group as f1
+            out = f2.result(timeout=60)
+            assert out["pred"].shape == (DIM, DIM, DIM, 1)
+            # a fresh group still works after the cancelled one resolved
+            assert mb.submit(x).result(timeout=60)["pred"].shape == (
+                DIM, DIM, DIM, 1,
+            )
+
+
+def test_no_prior_masked_dims_zero_filled():
+    """Without class priors the latent prior is N(0, I): a masked dim must
+    decode from the prior mean 0, not the raw unobserved encoder value."""
+    model, params, batch = _make_model(with_prior=False)
+    fn = make_infer_fn(model)
+    mask = np.ones((4, Z), np.float32)
+    mask[:, : Z // 2] = 0.0
+    out = fn(params, batch["input"], jnp.asarray(mask))
+    z = np.asarray(out["z_mean"])
+    assert np.all(z[:, : Z // 2] == 0.0)
+    assert np.any(z[:, Z // 2 :] != 0.0)
