@@ -67,5 +67,13 @@ class DevicePrefetcher:
             yield self.get()
 
     def close(self):
+        """Stop the worker and wait until it is actually dead.
+
+        The join is unbounded on purpose: the worker re-checks ``_stop``
+        between batches and inside its bounded ``put`` retries, so it exits
+        within one batch assembly — but that can exceed any fixed timeout on
+        a contended host or tunneled device, and returning while the worker
+        still runs would let a successor prefetcher race it on the shared
+        (stateful) loader."""
         self._stop.set()
-        self._thread.join(timeout=2.0)
+        self._thread.join()

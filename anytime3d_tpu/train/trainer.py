@@ -105,9 +105,15 @@ class Trainer:
         counter = iter(range(start_it, self.cfg.total_steps + self.cfg.prefetch_depth))
 
         def next_batch():
-            return self._prepare(self.batch_fn(next(counter)))
+            return self.batch_fn(next(counter))
 
-        return DevicePrefetcher(next_batch, depth=self.cfg.prefetch_depth)
+        # the prefetcher owns the H2D move: ONE device_put per leaf, sharded
+        # over 'data' when a mesh is active (previously the mesh path
+        # device_put twice — shard_batch then the prefetcher's replicate)
+        sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+        return DevicePrefetcher(
+            next_batch, sharding=sharding, depth=self.cfg.prefetch_depth
+        )
 
     def run(self, epoch_fn: Optional[Callable[[], int]] = None) -> TrainState:
         cfg = self.cfg
@@ -173,10 +179,18 @@ class Trainer:
                     break
 
             if cfg.save_path and (it + 1) % cfg.save_every == 0:
-                # async: device->host snapshot now, commit in background —
-                # training overlaps the serialize (restore_state fences)
-                save_state(cfg.save_path, self.state, wait=False)
-                last_saved_step = it
+                # never checkpoint a non-finite state: NaN detection runs on
+                # the log cadence, so an unguarded save between log ticks
+                # could overwrite the last GOOD checkpoint with NaN params —
+                # every NaN-restart would then reload the poison. The
+                # finiteness fetch is one scalar sync at save cadence (the
+                # save's own device->host snapshot dwarfs it).
+                if math.isfinite(float(metrics["loss_total"])):
+                    # async: device->host snapshot now, commit in background
+                    # — training overlaps the serialize (restore_state
+                    # fences)
+                    save_state(cfg.save_path, self.state, wait=False)
+                    last_saved_step = it
 
             if self.eval_batch_fn is not None and (it + 1) % cfg.eval_every == 0:
                 self.evaluate(it)

@@ -357,3 +357,38 @@ class TestPrefetcher:
         b = pf.get()
         assert float(np.asarray(a["x"])[0, 0]) < float(np.asarray(b["x"])[0, 0])
         pf.close()
+
+    def test_close_waits_for_inflight_batch(self):
+        """close() must not return while the worker is mid-batch: a timed-out
+        join would let a successor prefetcher race the stateful loader."""
+        import threading
+        import time
+
+        in_fn = threading.Event()
+
+        def slow_make():
+            in_fn.set()
+            time.sleep(0.5)
+            return {"x": np.zeros((2, 2), np.float32)}
+
+        pf = DevicePrefetcher(slow_make, depth=1)
+        assert in_fn.wait(timeout=5.0)
+        pf.close()
+        assert not pf._thread.is_alive()
+
+    def test_sharded_put(self):
+        """With a sharding, leaves come back placed with exactly that
+        sharding (the trainer's mesh path relies on this single put)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from anytime3d_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=len(jax.devices()))
+        sh = NamedSharding(mesh, PartitionSpec("data"))
+        pf = DevicePrefetcher(
+            lambda: {"x": np.zeros((8, 4), np.float32)}, sharding=sh, depth=1
+        )
+        out = pf.get()
+        assert out["x"].sharding == sh
+        pf.close()
