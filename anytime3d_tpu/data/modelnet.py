@@ -196,6 +196,11 @@ class SyntheticImageObjectLoader(SyntheticVoxelLoader):
         self._azimuths = np.random.default_rng(kwargs.get("seed", 0) + 1).uniform(
             -np.pi, np.pi, self.dataLength
         )
+        # (sample, size) -> uint8 mono render. Azimuth is fixed per sample,
+        # so renders are deterministic and cacheable — after one epoch the
+        # host render cost leaves the training critical path entirely
+        # (~54 MB at 4096 samples x two scales).
+        self._render_cache: Dict = {}
 
     def _render(self, vox: np.ndarray, azimuth: float, image_size) -> np.ndarray:
         """Rotate about the vertical axis (nearest-neighbour) then project."""
@@ -213,6 +218,17 @@ class SyntheticImageObjectLoader(SyntheticVoxelLoader):
         img = img[ys][:, xs]
         return np.stack([img] * 3, axis=-1)
 
+    def _render_cached(self, i: int, vox: np.ndarray, azimuth: float,
+                       image_size) -> np.ndarray:
+        mono = self._render_cache.get((i, image_size))
+        if mono is None:
+            mono = (self._render(vox, azimuth, image_size)[..., 0] * 255).astype(
+                np.uint8
+            )
+            self._render_cache[(i, image_size)] = mono
+        img = mono.astype(np.float32) / 255.0
+        return np.stack([img] * 3, axis=-1)
+
     def getNextBatch(self, batchSizeof3DShape: int = 32, imageSize=(64, 64),
                      augmentation=None):
         if self.batchStart + batchSizeof3DShape > self.dataLength:
@@ -225,7 +241,8 @@ class SyntheticImageObjectLoader(SyntheticVoxelLoader):
         vox = np.stack([self._make(i) for i in sel])
         az = self._azimuths[sel]
         images = np.stack(
-            [self._render(v, a, imageSize) for v, a in zip(vox, az)]
+            [self._render_cached(int(i), v, a, tuple(imageSize))
+             for i, v, a in zip(sel, vox, az)]
         )
         euler = np.stack([az, np.zeros_like(az), np.zeros_like(az)], axis=-1)
         cls = np.eye(self._num_classes, dtype=np.float32)[self._labels[sel]]

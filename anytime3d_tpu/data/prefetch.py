@@ -74,6 +74,16 @@ class DevicePrefetcher:
         within one batch assembly — but that can exceed any fixed timeout on
         a contended host or tunneled device, and returning while the worker
         still runs would let a successor prefetcher race it on the shared
-        (stateful) loader."""
+        (stateful) loader. A wedged ``batch_fn`` (loader stuck on IO) would
+        otherwise hang silently, so log a heartbeat while waiting."""
         self._stop.set()
-        self._thread.join()
+        waited = 0.0
+        while True:
+            self._thread.join(timeout=60.0)
+            if not self._thread.is_alive():
+                return
+            waited += 60.0
+            print(
+                f"prefetch worker still draining after {waited:.0f}s — "
+                "batch_fn appears blocked (loader IO?); still waiting"
+            )

@@ -31,9 +31,11 @@ def missing_rate_sweep(
     num_batches: int = 8,
     prior_means=None,
     seed: int = 0,
+    correction: str = "resample",
 ) -> Dict[float, Dict[str, float]]:
     """Anytime degradation table: metrics per missing rate, averaged over
-    ``num_batches`` batches."""
+    ``num_batches`` batches. ``correction='mean'`` is the instOnly variant's
+    snap-to-prior-mean fill (nolbo.py:460-474)."""
     out: Dict[float, Dict[str, float]] = {}
     for rate in rates:
         sums: Dict[str, float] = {}
@@ -42,6 +44,7 @@ def missing_rate_sweep(
             metrics = anytime_eval_jit(
                 model, params, batch_fn(b), key,
                 missing_prob=rate, prior_means=prior_means,
+                correction=correction,
             )
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
@@ -158,6 +161,7 @@ def evaluate_epoch(
     missing_prob: float = 0.0,
     prior_means=None,
     seed: int = 0,
+    correction: str = "resample",
 ) -> Dict[str, float]:
     """Single-pass eval: mean loss/P/R (+ corrected variants when masking)."""
     sums: Dict[str, float] = {}
@@ -166,6 +170,7 @@ def evaluate_epoch(
         metrics = anytime_eval_jit(
             model, params, batch_fn(b), key,
             missing_prob=missing_prob, prior_means=prior_means,
+            correction=correction,
         )
         for k, v in metrics.items():
             sums[k] = sums.get(k, 0.0) + float(v)

@@ -150,9 +150,12 @@ class MicroBatcher:
                     return
                 continue
             n = len(group)
-            # the ENTIRE group handling is fenced: any failure (device error,
-            # bad output pytree, ...) resolves every waiter instead of
-            # killing the worker and deadlocking all future submits
+            # the ENTIRE group handling — including per-item result
+            # distribution — is fenced: any failure (device error, bad output
+            # pytree, a non-batched output leaf whose v[i] would raise)
+            # resolves every waiter instead of killing the worker and
+            # deadlocking all future submits
+            resolved = 0
             try:
                 xs = np.zeros((self._b,) + self._item_shape, self._dtype)
                 masks = np.ones((self._b, self._mask_dim), self._dtype)
@@ -162,9 +165,9 @@ class MicroBatcher:
                 out = self._fn(jnp.asarray(xs), jnp.asarray(masks))
                 out = {k: np.asarray(v) for k, v in out.items()}
                 self.batches_run += 1
-            except Exception as e:  # propagate to every waiter in the group
-                for _, _, fut in group:
+                for i in range(n):
+                    self._resolve(group[i][2], {k: v[i] for k, v in out.items()})
+                    resolved += 1
+            except Exception as e:  # propagate to every unresolved waiter
+                for _, _, fut in group[resolved:]:
                     self._resolve(fut, exc=e)
-                continue
-            for i in range(n):
-                self._resolve(group[i][2], {k: v[i] for k, v in out.items()})

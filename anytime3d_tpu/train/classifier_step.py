@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from anytime3d_tpu.models.classifier import Classifier
 from anytime3d_tpu.ops import softmax_cross_entropy, topk_accuracy
 from anytime3d_tpu.train.state import TrainState, l2_penalty
+from anytime3d_tpu.train.step import apply_gradients_if_finite
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +49,6 @@ def make_classifier_train_step(
             return classifier_losses(model, cfg, params, batch)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        return state.apply_gradients(grads), metrics
+        return apply_gradients_if_finite(state, grads, metrics)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

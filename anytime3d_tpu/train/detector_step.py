@@ -23,6 +23,7 @@ from anytime3d_tpu.models.detector import DetectorReconstructor
 from anytime3d_tpu.ops import focal_binary_loss, gaussian_kl, voxel_tp_fp_fn
 from anytime3d_tpu.ops.sampling import reparameterize
 from anytime3d_tpu.train.state import TrainState, l2_penalty
+from anytime3d_tpu.train.step import apply_gradients_if_finite
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,6 +161,6 @@ def make_detector_train_step(
             return detector_losses(model, cfg, params, batch, key)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        return state.apply_gradients(grads), metrics
+        return apply_gradients_if_finite(state, grads, metrics)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

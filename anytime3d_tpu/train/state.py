@@ -56,6 +56,19 @@ def create_train_state(
     )
 
 
+def grads_finite_flag(grads) -> jnp.ndarray:
+    """1.0 iff every gradient leaf is finite (sum-of-squares test in f32).
+
+    Emitted by every train step as ``metrics['grads_finite']`` so the trainer
+    can refuse to checkpoint a state whose UPDATE was poisoned even when the
+    forward loss was still finite (bf16 backward-only overflow)."""
+    sq = sum(
+        jnp.sum(jnp.square(g.astype(jnp.float32)))
+        for g in jax.tree_util.tree_leaves(grads)
+    )
+    return jnp.isfinite(sq).astype(jnp.float32)
+
+
 def l2_penalty(params, weight: float = 5e-4) -> jax.Array:
     """Kernel L2 regularization, matching keras l2(l=5e-4) on conv/dense
     kernels (weight * sum w²). Norm scales/biases are exempt."""

@@ -25,7 +25,7 @@ from anytime3d_tpu.ops import (
 )
 from anytime3d_tpu.ops.losses import standard_gaussian_kl
 from anytime3d_tpu.ops.sampling import reparameterize
-from anytime3d_tpu.train.state import TrainState, l2_penalty
+from anytime3d_tpu.train.state import TrainState, grads_finite_flag, l2_penalty
 
 
 @dataclasses.dataclass(frozen=True)
@@ -188,6 +188,12 @@ def materialize_batch(model, batch):
     from anytime3d_tpu.data.packing import unpack_voxels, unpack_voxels_blocked
     from anytime3d_tpu.nn.autoencoder3d import space_to_depth3d
 
+    if "input" in batch and batch["input"].dtype == jnp.uint8:
+        # image batches may ship as uint8 (4x less host->device traffic over
+        # the tunnel); normalize to [0,1] inside jit where XLA fuses the
+        # divide into the stem conv (the reference divides on host, /255 at
+        # pascal3D.py:268)
+        batch = dict(batch, input=batch["input"].astype(jnp.float32) / 255.0)
     block = getattr(model, "blocked_io_block", None)
     grid = model.config.decoder.output_shape
     if "target_packed" in batch:
@@ -320,6 +326,31 @@ def compute_losses(
     return total, metrics
 
 
+def apply_gradients_if_finite(state: TrainState, grads, metrics: Dict):
+    """Skip-step update: apply gradients only when every leaf is finite.
+
+    A finite loss does NOT imply finite grads — e.g. a constant (all-black)
+    image drives every GroupNorm group to zero variance, and the backward's
+    1/sqrt(var+eps) factor compounds per layer into overflow while the
+    forward stays finite. The mixed-precision-trainer answer: drop the
+    poisoned update, keep params/opt_state, advance the step counter.
+    ``metrics['grads_finite']`` records it (the Trainer also gates
+    checkpoint saves on this flag). The select costs one params-sized
+    read — negligible against the step."""
+    flag = grads_finite_flag(grads)
+    metrics["grads_finite"] = flag
+    updated = state.apply_gradients(grads)
+    keep = flag > 0
+    sel = lambda n, o: jnp.where(keep, n, o)
+    return (
+        updated.replace(
+            params=jax.tree_util.tree_map(sel, updated.params, state.params),
+            opt_state=jax.tree_util.tree_map(sel, updated.opt_state, state.opt_state),
+        ),
+        metrics,
+    )
+
+
 def make_train_step(model: MultiModalVAE, cfg: LossConfig = LossConfig(), donate: bool = True):
     """Build a jitted ``step(state, batch, key) -> (state, metrics)``.
 
@@ -333,8 +364,7 @@ def make_train_step(model: MultiModalVAE, cfg: LossConfig = LossConfig(), donate
             return compute_losses(model, cfg, params, batch, key, deterministic=False)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads)
-        return new_state, metrics
+        return apply_gradients_if_finite(state, grads, metrics)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 

@@ -19,7 +19,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import jax
 import numpy as np
 
-from anytime3d_tpu.anytime import anytime_eval
+from anytime3d_tpu.anytime import anytime_eval_jit
 from anytime3d_tpu.parallel import batch_sharding, make_mesh, shard_batch
 from anytime3d_tpu.train.checkpoint import restore_state, save_state
 from anytime3d_tpu.train.state import TrainState
@@ -182,10 +182,17 @@ class Trainer:
                 # never checkpoint a non-finite state: NaN detection runs on
                 # the log cadence, so an unguarded save between log ticks
                 # could overwrite the last GOOD checkpoint with NaN params —
-                # every NaN-restart would then reload the poison. The
-                # finiteness fetch is one scalar sync at save cadence (the
-                # save's own device->host snapshot dwarfs it).
-                if math.isfinite(float(metrics["loss_total"])):
+                # every NaN-restart would then reload the poison. The loss is
+                # computed from the PRE-update params while the save snapshots
+                # the POST-update state, so additionally require the step's
+                # gradients to have been finite (metrics['grads_finite'],
+                # emitted by every train step) — a finite forward with an
+                # overflowed bf16 backward would otherwise checkpoint poison.
+                # Two scalar syncs at save cadence (the save's own
+                # device->host snapshot dwarfs them).
+                if math.isfinite(float(metrics["loss_total"])) and (
+                    float(metrics.get("grads_finite", 1.0)) > 0.0
+                ):
                     # async: device->host snapshot now, commit in background
                     # — training overlaps the serialize (restore_state
                     # fences)
@@ -216,7 +223,9 @@ class Trainer:
             and mcfg.prior_category is not None
             and self.cfg.eval_missing_prob > 0
         ):
-            anytime = anytime_eval(
+            # jitted protocol only: eager anytime_eval is one remote round
+            # trip PER OP on the axon tunnel (tests/test_lint.py enforces it)
+            anytime = anytime_eval_jit(
                 self.model, self.state.params, batch, key,
                 missing_prob=self.cfg.eval_missing_prob,
             )

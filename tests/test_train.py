@@ -204,3 +204,62 @@ class TestImageModel:
         state, metrics = step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss_total"]))
         assert "loss_kl" in metrics and "loss_reg" in metrics
+
+
+class TestSkipStepOnNonFiniteGrads:
+    """apply_gradients_if_finite: a poisoned update is dropped wholesale
+    (mixed-precision skip-step semantics) while finite updates apply.
+
+    Motivating failure: a constant (all-black) image drives every GroupNorm
+    group to zero variance; the backward's 1/sqrt(var+eps) compounds across
+    the backbone into inf/NaN grads while the forward loss stays finite —
+    without the guard Adam silently poisons the params and the loss only
+    NaNs steps later."""
+
+    def _make(self):
+        cfg = tiny_voxel_cfg()
+        model = MultiModalVAE(cfg)
+        rng = np.random.default_rng(0)
+        batch = {
+            "input": jnp.asarray(rng.uniform(size=(2, 16, 16, 16, 1)).astype(np.float32)),
+            "target": jnp.asarray(
+                (rng.uniform(size=(2, 16, 16, 16, 1)) > 0.7).astype(np.float32)
+            ),
+        }
+        state = create_train_state(model, batch["input"], jax.random.PRNGKey(0))
+        return model, state, batch
+
+    def test_nonfinite_grads_skip_update(self):
+        from anytime3d_tpu.train.step import apply_gradients_if_finite
+
+        _, state, _ = self._make()
+        grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        # poison one leaf
+        leaves, treedef = jax.tree_util.tree_flatten(grads)
+        leaves[3] = jnp.full_like(leaves[3], jnp.inf)
+        grads = jax.tree_util.tree_unflatten(treedef, leaves)
+        new_state, metrics = apply_gradients_if_finite(state, grads, {})
+        assert float(metrics["grads_finite"]) == 0.0
+        for n, o in zip(
+            jax.tree_util.tree_leaves(new_state.params),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(n), np.asarray(o))
+        # step counter still advances (PRNG/schedule streams keep moving)
+        assert int(new_state.step) == int(state.step) + 1
+
+    def test_finite_grads_apply(self):
+        from anytime3d_tpu.train.step import apply_gradients_if_finite
+
+        _, state, _ = self._make()
+        grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 1e-3, state.params)
+        new_state, metrics = apply_gradients_if_finite(state, grads, {})
+        assert float(metrics["grads_finite"]) == 1.0
+        changed = any(
+            not np.array_equal(np.asarray(n), np.asarray(o))
+            for n, o in zip(
+                jax.tree_util.tree_leaves(new_state.params),
+                jax.tree_util.tree_leaves(state.params),
+            )
+        )
+        assert changed
