@@ -58,6 +58,10 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--jsonl", default=None)
     p.add_argument("--eval-batches", type=int, default=16)
+    p.add_argument("--inst-spread", type=float, default=0.4,
+                   help="per-instance extent spread of the synthetic loader; "
+                        "0.4 makes instance identity recoverable from one "
+                        "silhouette (distinct CADs differ structurally)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -93,11 +97,11 @@ def main(argv=None):
 
     train_ld = SyntheticImageObjectLoader(
         num_samples=args.train_samples, dim=dim, num_classes=n_cls,
-        num_inst=n_inst, seed=0,
+        num_inst=n_inst, seed=0, inst_spread=args.inst_spread,
     )
     eval_ld = SyntheticImageObjectLoader(
         num_samples=args.eval_samples, dim=dim, num_classes=n_cls,
-        num_inst=n_inst, seed=1,
+        num_inst=n_inst, seed=1, inst_spread=args.inst_spread,
     )
 
     sizes = [int(s) for s in args.multi_scale.split(",")]
