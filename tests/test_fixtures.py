@@ -200,6 +200,8 @@ class TestKittiFixture:
             np.testing.assert_array_equal(v, ld.cad_shapes[int(np.argmax(i))])
         # train-split flips negate azimuth (seeded 50% coin per item), so
         # compare magnitudes
+        # atol: arcsin is ill-conditioned near pi/2, so the f32 sin->arcsin
+        # round trip of 1.57 is only ~1e-4 accurate
         np.testing.assert_allclose(
-            np.sort(np.abs(np.arcsin(sin[:, 0]))), [0.5, 1.57], rtol=1e-5
+            np.sort(np.abs(np.arcsin(sin[:, 0]))), [0.5, 1.57], atol=1e-3
         )
