@@ -7,9 +7,10 @@ request coalescer (``MicroBatcher``)."""
 
 from anytime3d_tpu.serving.batcher import MicroBatcher
 from anytime3d_tpu.serving.export import (
+    export_detector,
     export_infer,
     load_infer,
     make_infer_fn,
 )
 
-__all__ = ["MicroBatcher", "export_infer", "load_infer", "make_infer_fn"]
+__all__ = ["MicroBatcher", "export_detector", "export_infer", "load_infer", "make_infer_fn"]

@@ -139,6 +139,63 @@ def export_infer(
     return bytes(exported.serialize())
 
 
+def export_detector(
+    model,
+    params,
+    image_shape,
+    obj_thresh: float = 0.5,
+    iou_thresh: float = 0.5,
+    reconstruct: bool = True,
+    input_dtype=jnp.float32,
+) -> bytes:
+    """Serialize the detector serving program: one frame in, fixed-size
+    padded detections (+ decoded shapes) out.
+
+    The program is ``DetectorReconstructor.detect`` (vectorized grid decode,
+    per-cell winner, top-K + fixed-shape NMS — the jit-able re-design of
+    nolbo_test.py:81-188's host loop) followed, when ``reconstruct`` is on,
+    by the deterministic posterior-mean decode of all K slots in one batched
+    decoder call. ``image_shape`` includes the leading batch dim and must be
+    (1, H, W, 3) — detection is per-frame; serve frames through
+    ``serving.batcher`` ahead of this program if needed. Thresholds are
+    baked in as constants (static under jit).
+
+    Outputs: ``bbox2d`` (K, 5) [x0, y0, x1, y1, score] normalized, ``valid``
+    (K,) bool, per-slot ``ori_sin``/``ori_cos``/``rad_log_var``/``bbox3d``/
+    ``z_mean``/``z_log_var`` — and ``vox`` (K, D, H, W) occupancies when
+    reconstructing. Deserialize with :func:`load_infer` (signature
+    ``fn(images) -> dict``)."""
+    from anytime3d_tpu.models.detector import DetectorReconstructor
+
+    if tuple(image_shape)[0] != 1:
+        raise ValueError(f"detector serving is per-frame; got batch {image_shape[0]}")
+
+    def closed(images):
+        out = model.apply(
+            {"params": params},
+            images,
+            obj_thresh,
+            iou_thresh,
+            method=DetectorReconstructor.detect,
+        )
+        if reconstruct:
+            out = dict(out)
+            out["vox"] = model.apply(
+                {"params": params},
+                None,  # key unused on the deterministic path
+                out["z_mean"],
+                out["z_log_var"],
+                False,  # sample=False: posterior-mean decode
+                method=DetectorReconstructor.reconstruct,
+            )
+        return out
+
+    exported = jax_export.export(jax.jit(closed))(
+        jax.ShapeDtypeStruct(tuple(image_shape), input_dtype)
+    )
+    return bytes(exported.serialize())
+
+
 def load_infer(data: bytes):
     """Deserialize an exported serving program into ``fn(x, mask) -> outputs``.
 

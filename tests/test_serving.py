@@ -189,3 +189,65 @@ def test_no_prior_masked_dims_zero_filled():
     z = np.asarray(out["z_mean"])
     assert np.all(z[:, : Z // 2] == 0.0)
     assert np.any(z[:, Z // 2 :] != 0.0)
+
+
+class TestDetectorExport:
+    """export_detector: the detector serving program (detect + posterior-mean
+    reconstruct) round-trips through serialize/deserialize and matches direct
+    apply exactly on the same backend."""
+
+    def _make(self):
+        from tests.test_detector import tiny_detector
+        from anytime3d_tpu.models.detector import DetectorReconstructor
+
+        model = tiny_detector()
+        images = jnp.asarray(
+            np.random.default_rng(3).uniform(size=(1, 64, 64, 3)).astype(np.float32)
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), images, method=DetectorReconstructor.initialize
+        )["params"]
+        return model, params, images
+
+    def test_roundtrip_matches_direct(self):
+        from anytime3d_tpu.models.detector import DetectorReconstructor
+        from anytime3d_tpu.serving import export_detector, load_infer
+
+        model, params, images = self._make()
+        data = export_detector(
+            model, params, images.shape, obj_thresh=0.1, reconstruct=True
+        )
+        assert isinstance(data, bytes) and len(data) > 0
+        served = load_infer(data)(images)
+
+        direct = model.apply(
+            {"params": params}, images, 0.1, 0.5,
+            method=DetectorReconstructor.detect,
+        )
+        vox = model.apply(
+            {"params": params}, None, direct["z_mean"], direct["z_log_var"],
+            False, method=DetectorReconstructor.reconstruct,
+        )
+        assert served["bbox2d"].shape == direct["bbox2d"].shape
+        assert served["vox"].shape == vox.shape
+        # distinct compilations fuse differently -> ~1e-6 float jitter
+        np.testing.assert_allclose(
+            np.asarray(served["bbox2d"]), np.asarray(direct["bbox2d"]),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(served["valid"]), np.asarray(direct["valid"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(served["vox"]), np.asarray(vox), rtol=1e-4, atol=1e-5
+        )
+
+    def test_batch_must_be_one(self):
+        from anytime3d_tpu.serving import export_detector
+
+        model, params, _ = self._make()
+        try:
+            export_detector(model, params, (2, 64, 64, 3))
+            raise AssertionError("expected ValueError for batch != 1")
+        except ValueError:
+            pass
