@@ -60,6 +60,24 @@ def pack_voxels(vox: np.ndarray) -> np.ndarray:
     return np.packbits(flat, axis=-1)
 
 
+def pack_voxels_device(vox: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
+    """Device-side (jit-safe) inverse of :func:`unpack_voxels`: threshold a
+    (B, ...) occupancy/probability grid and pack to (B, N/8) uint8, MSB-first
+    — bit-identical to host ``np.packbits``. Serving programs use this to
+    return occupancies at 1 bit/voxel (32x less device->host traffic; on
+    tunneled backends the response transfer otherwise dominates latency).
+    N must be divisible by 8 (every voxel grid is)."""
+    b = vox.shape[0]
+    bits = (vox.reshape(b, -1) > threshold)
+    n = bits.shape[1]
+    if n % 8:
+        raise ValueError(f"flat size {n} not divisible by 8")
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # MSB-first
+    bytes_ = bits.reshape(b, n // 8, 8).astype(jnp.uint8) << shifts
+    # disjoint bit positions: the sum IS the bitwise-or, overflow-free
+    return jnp.sum(bytes_, axis=-1, dtype=jnp.uint8)
+
+
 def unpack_voxels(
     packed: jnp.ndarray, shape: Sequence[int], dtype=jnp.float32
 ) -> jnp.ndarray:

@@ -49,6 +49,7 @@ class MicroBatcher:
         mask_dim: int,
         max_wait_s: float = 0.005,
         input_dtype=np.float32,
+        mask_dtype=np.float32,
     ):
         """``input_shape`` is the PER-ITEM shape (no batch dim), e.g.
         (64, 64, 64, 1). ``mask_dim`` is the latent-mask width z_cat_dim."""
@@ -58,6 +59,9 @@ class MicroBatcher:
         self._mask_dim = int(mask_dim)
         self._wait = float(max_wait_s)
         self._dtype = input_dtype
+        # masks keep their own dtype: packed-IO programs take uint8 items
+        # but still expect float observation masks
+        self._mask_dtype = mask_dtype
         self._q: "queue.Queue" = queue.Queue()
         self._closed = threading.Event()
         self._submit_lock = threading.Lock()  # orders submit() vs close()
@@ -74,8 +78,8 @@ class MicroBatcher:
         if x.shape != self._item_shape:
             raise ValueError(f"item shape {x.shape} != {self._item_shape}")
         if mask is None:
-            mask = np.ones((self._mask_dim,), self._dtype)
-        mask = np.asarray(mask, self._dtype)
+            mask = np.ones((self._mask_dim,), self._mask_dtype)
+        mask = np.asarray(mask, self._mask_dtype)
         if mask.shape != (self._mask_dim,):
             # validate HERE: a bad mask must fail the caller, not the worker
             raise ValueError(f"mask shape {mask.shape} != ({self._mask_dim},)")
@@ -158,7 +162,7 @@ class MicroBatcher:
             resolved = 0
             try:
                 xs = np.zeros((self._b,) + self._item_shape, self._dtype)
-                masks = np.ones((self._b, self._mask_dim), self._dtype)
+                masks = np.ones((self._b, self._mask_dim), self._mask_dtype)
                 for i, (x, m, _) in enumerate(group):
                     xs[i] = x
                     masks[i] = m

@@ -118,23 +118,53 @@ def export_infer(
     prior_means: Optional[jnp.ndarray] = None,
     correction: bool = True,
     input_dtype=jnp.float32,
+    packed_input: bool = False,
+    packed_output: bool = False,
+    output_threshold: float = 0.5,
 ) -> bytes:
     """Serialize the jitted serving program (weights baked in) to bytes.
 
     ``input_shape`` includes the batch dim, e.g. ``(8, 64, 64, 64, 1)``.
     The result round-trips through :func:`load_infer` in any process — no
     model class, config, or checkpoint needed on the serving side.
+
+    Packed IO (voxel serving over thin links — e.g. the 54 MB/s axon
+    tunnel, where float grids dominate request latency): ``packed_input``
+    takes ``x`` as (B, N/8) uint8 occupancy bits (``np.packbits`` order,
+    data/packing.py) and unpacks in-graph; ``packed_output`` replaces the
+    float ``pred`` with ``pred_packed`` uint8 bits at ``output_threshold``
+    — 32x less transfer each way.
     """
+    import math
+
+    from anytime3d_tpu.data.packing import pack_voxels_device, unpack_voxels
+
     infer = make_infer_fn(model, prior_means=prior_means, correction=correction)
     z_cat_dim = model.config.z_category_dim or model.config.z_inst_dim
     batch = input_shape[0]
+    item_shape = tuple(input_shape[1:])
 
     def closed(x, mask):
-        return infer(params, x, mask)
+        if packed_input:
+            x = unpack_voxels(x, item_shape, dtype=jnp.float32)
+        out = infer(params, x, mask)
+        if packed_output:
+            out["pred_packed"] = pack_voxels_device(
+                out.pop("pred"), output_threshold
+            )
+        return out
 
+    if packed_input:
+        if model.config.encoder != "voxel":
+            raise ValueError("packed_input requires a voxel encoder")
+        x_spec = jax.ShapeDtypeStruct(
+            (batch, math.prod(item_shape) // 8), jnp.uint8
+        )
+    else:
+        x_spec = jax.ShapeDtypeStruct(tuple(input_shape), input_dtype)
     exported = jax_export.export(jax.jit(closed))(
-        jax.ShapeDtypeStruct(tuple(input_shape), input_dtype),
-        jax.ShapeDtypeStruct((batch, z_cat_dim), input_dtype),
+        x_spec,
+        jax.ShapeDtypeStruct((batch, z_cat_dim), jnp.float32),
     )
     return bytes(exported.serialize())
 

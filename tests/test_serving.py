@@ -251,3 +251,60 @@ class TestDetectorExport:
             raise AssertionError("expected ValueError for batch != 1")
         except ValueError:
             pass
+
+
+class TestPackedIO:
+    """Packed-IO export: uint8 bit IO round-trips exactly against the float
+    program (32x less transfer each way — the tunnel-serving path)."""
+
+    def test_device_pack_matches_packbits(self):
+        from anytime3d_tpu.data.packing import pack_voxels, pack_voxels_device
+
+        rng = np.random.default_rng(0)
+        vox = rng.uniform(size=(3, 16, 16, 16, 1)).astype(np.float32)
+        dev = np.asarray(pack_voxels_device(jnp.asarray(vox)))
+        host = pack_voxels(vox)
+        np.testing.assert_array_equal(dev, host)
+
+    def test_packed_export_matches_float_export(self):
+        from anytime3d_tpu.data.packing import pack_voxels, unpack_voxels
+        from anytime3d_tpu.serving import export_infer, load_infer
+
+        model, params, batch = _make_model(with_prior=True)
+        x = np.asarray(batch["input"][:2])
+        shape = (2, DIM, DIM, DIM, 1)
+        mask = np.ones((2, Z), np.float32)
+
+        plain = load_infer(export_infer(model, params, shape))(
+            jnp.asarray(x), jnp.asarray(mask)
+        )
+        packed = load_infer(
+            export_infer(model, params, shape, packed_input=True, packed_output=True)
+        )(jnp.asarray(pack_voxels(x)), jnp.asarray(mask))
+
+        np.testing.assert_allclose(
+            np.asarray(packed["z_mean"]), np.asarray(plain["z_mean"]),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(packed["category"]), np.asarray(plain["category"])
+        )
+        # packed prediction bits == thresholded float prediction
+        want = (np.asarray(plain["pred"]) > 0.5).astype(np.float32)
+        got = np.asarray(
+            unpack_voxels(packed["pred_packed"], (DIM, DIM, DIM, 1))
+        )
+        assert got.shape == want.shape
+        agree = (got == want).mean()
+        assert agree > 0.999, agree  # float jitter only at the threshold
+
+    def test_packed_input_requires_voxel_encoder(self):
+        import pytest as _pytest
+
+        from anytime3d_tpu.models import configs
+        from anytime3d_tpu.serving import export_infer
+
+        cfg, _ = configs.variant("pascal_vae")
+        model = MultiModalVAE(cfg)
+        with _pytest.raises(ValueError):
+            export_infer(model, {}, (1, 64, 64, 3), packed_input=True)
