@@ -48,6 +48,12 @@ class Encoder3DConfig:
     # channels). Avoids the layout-hostile fine-grid convs entirely.
     # Requires strides[:2] == (2, 2); overrides stem_space_to_depth.
     head_blocked: bool = False
+    # Blocked middle: express every remaining stride-2 stage as
+    # s2d(2) + k=2 s=1 dense conv — the same 4-taps-per-axis linear family
+    # with stride-1 MXU tiling, AND a clean backward: stride-1 convs have no
+    # zero-stuffed (input-dilated) gradient lowering, which KERNELS.md §6
+    # names as the dominant backward pathology of the stride-2 stages.
+    mid_blocked: bool = False
 
     @property
     def all_filters(self) -> Tuple[int, ...]:
@@ -79,6 +85,13 @@ class Decoder3DConfig:
     # interleave relayouts of the decoder; requires strides[-2:] == (2, 2)
     # and final_mode='pixel_shuffle'.
     tail_blocked: bool = False
+    # Blocked middle: every remaining stride-2 transposed conv becomes a
+    # k=2 s=1 dense conv emitting 8*C phase channels + depth-to-space(2)
+    # (GroupNorm/act applied AFTER the d2s at the fine grid — the exact
+    # normalization statistics of the classic path). Same linear family
+    # (pixel-shuffle form), stride-1 tiling, no input-dilated lowering in
+    # either direction.
+    mid_blocked: bool = False
 
 
 def encoder_head_blocked_active(cfg: "Encoder3DConfig") -> bool:
@@ -158,7 +171,14 @@ class Encoder3D(nn.Module):
                 sizes[0] = max(1, -(-sizes[0] // b))  # ceil-div receptive field
                 strides[0] //= b
         for f, k, s in zip(filters[:-1], sizes[:-1], strides[:-1]):
-            x = ConvBlock3D(f, k, s, act=cfg.act, dtype=self.dtype)(x)
+            if cfg.mid_blocked and s == 2 and min(x.shape[1:4]) >= 2:
+                # stride-2 k=4 SAME conv == k=2 s=1 conv over the s2d(2)
+                # phase-folded grid (same 4-tap family; stride-1 tiling and
+                # no dilated backward)
+                x = space_to_depth3d(x, 2)
+                x = ConvBlock3D(f, 2, 1, act=cfg.act, dtype=self.dtype)(x)
+            else:
+                x = ConvBlock3D(f, k, s, act=cfg.act, dtype=self.dtype)(x)
         # final conv: no norm, no activation (autoencoder3D.py:86-88)
         x = nn.Conv(
             filters[-1],
@@ -198,7 +218,20 @@ class Decoder3D(nn.Module):
             raise ValueError("blocked_output requires the blocked-tail layout")
         n_mid = len(cfg.filter_nums) - (2 if blocked else 1)
         for f, k, s in zip(cfg.filter_nums[:n_mid], cfg.filter_sizes[:n_mid], cfg.strides[:n_mid]):
-            x = DeconvBlock3D(f, k, s, act=cfg.act, dtype=self.dtype)(x)
+            if cfg.mid_blocked and s == 2:
+                # stride-2 k=4 transpose == k=2 s=1 conv emitting 8*C phase
+                # channels + d2s(2) (the pixel-shuffle form of final_mode,
+                # applied mid-stack). Norm/act AFTER the d2s: identical
+                # normalization statistics to the classic path.
+                x = nn.Conv(
+                    f * 8, (2, 2, 2), padding="SAME", use_bias=False,
+                    dtype=self.dtype,
+                )(x)
+                x = depth_to_space3d(x, 2)
+                x = group_norm(f, self.dtype)(x)
+                x = activation(cfg.act)(x)
+            else:
+                x = DeconvBlock3D(f, k, s, act=cfg.act, dtype=self.dtype)(x)
         if blocked:
             f4 = cfg.filter_nums[-2]
             x = nn.Conv(

@@ -173,3 +173,95 @@ def test_priornet_learned_log_var_and_dropout():
     )
     assert not np.allclose(np.asarray(m2a), np.asarray(m2b))
     assert lv1.shape == (5, 4)
+
+
+class TestMidBlocked:
+    """mid_blocked: every stride-2 stage as s2d(2)/d2s(2) + k=2 s=1 conv —
+    same linear family and PARAMETER COUNT as the classic stride-2 stages
+    (4^3*Cin*Cout == 2^3*(8*Cin)*Cout, and transpose 4^3*Cin*Cout ==
+    2^3*Cin*(8*Cout)), stride-1 MXU tiling, no dilated lowering in either
+    direction."""
+
+    def _enc_cfg(self, **kw):
+        from anytime3d_tpu.nn.autoencoder3d import Encoder3DConfig
+
+        return Encoder3DConfig(
+            output_dim=16, filter_nums=(8, 16, 32), filter_sizes=(4, 4, 4, 4),
+            strides=(2, 2, 2, 1), **kw,
+        )
+
+    def _dec_cfg(self, **kw):
+        from anytime3d_tpu.nn.autoencoder3d import Decoder3DConfig
+
+        return Decoder3DConfig(
+            input_dim=8, output_shape=(32, 32, 32, 1),
+            filter_nums=(32, 16, 8, 1), filter_sizes=(4, 4, 4, 4),
+            strides=(1, 2, 2, 2), **kw,
+        )
+
+    def test_encoder_shapes_and_param_parity(self):
+        import jax
+        import numpy as np
+        from anytime3d_tpu.nn.autoencoder3d import Encoder3D
+
+        x = jnp.asarray(
+            np.random.default_rng(0).uniform(size=(2, 32, 32, 32, 1)).astype(np.float32)
+        )
+        outs, counts = [], []
+        for mid in (False, True):
+            enc = Encoder3D(self._enc_cfg(mid_blocked=mid))
+            params = enc.init(jax.random.PRNGKey(0), x)["params"]
+            out = enc.apply({"params": params}, x)
+            assert out.shape == (2, 16)
+            assert np.isfinite(np.asarray(out)).all()
+            counts.append(sum(p.size for p in jax.tree_util.tree_leaves(params)))
+            outs.append(out)
+        assert counts[0] == counts[1], counts
+
+    def test_decoder_shapes_and_param_parity(self):
+        import jax
+        import numpy as np
+        from anytime3d_tpu.nn.autoencoder3d import Decoder3D
+
+        z = jnp.asarray(
+            np.random.default_rng(0).uniform(size=(2, 8)).astype(np.float32)
+        )
+        counts = []
+        for mid in (False, True):
+            dec = Decoder3D(self._dec_cfg(mid_blocked=mid))
+            params = dec.init(jax.random.PRNGKey(0), z)["params"]
+            out = dec.apply({"params": params}, z)
+            assert out.shape == (2, 32, 32, 32, 1)
+            assert np.isfinite(np.asarray(out)).all()
+            counts.append(sum(p.size for p in jax.tree_util.tree_leaves(params)))
+        assert counts[0] == counts[1], counts
+
+    def test_composes_with_blocked_head_tail(self):
+        import jax
+        import numpy as np
+        from anytime3d_tpu.nn.autoencoder3d import Decoder3D, Encoder3D
+
+        enc_cfg = self._enc_cfg(mid_blocked=True, head_blocked=True)
+        dec_cfg = self._dec_cfg(mid_blocked=True, tail_blocked=True)
+        x = jnp.asarray(
+            np.random.default_rng(0).uniform(size=(2, 32, 32, 32, 1)).astype(np.float32)
+        )
+        enc = Encoder3D(enc_cfg)
+        p = enc.init(jax.random.PRNGKey(0), x)["params"]
+        assert enc.apply({"params": p}, x).shape == (2, 16)
+        dec = Decoder3D(dec_cfg)
+        z = jnp.zeros((2, 8))
+        pd = dec.init(jax.random.PRNGKey(0), z)["params"]
+        assert dec.apply({"params": pd}, z).shape == (2, 32, 32, 32, 1)
+
+    def test_gradients_flow(self):
+        import jax
+        import numpy as np
+        from anytime3d_tpu.nn.autoencoder3d import Decoder3D
+
+        dec = Decoder3D(self._dec_cfg(mid_blocked=True))
+        z = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8)).astype(np.float32))
+        params = dec.init(jax.random.PRNGKey(0), z)["params"]
+        g = jax.grad(lambda p: jnp.sum(dec.apply({"params": p}, z)))(params)
+        norms = [float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)]
+        assert all(np.isfinite(norms)) and max(norms) > 0
