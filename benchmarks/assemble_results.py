@@ -28,28 +28,33 @@ def f(x, nd=3):
 
 
 def sweep_table(res: dict) -> list:
-    lines = [
-        "| missing rate | P | R | P corrected | R corrected | acc | acc corrected |",
-        "|---|---|---|---|---|---|---|",
-    ]
+    has_inst = "acc_inst" in res["eval_full"]
+    header = "| missing rate | P | R | P corrected | R corrected | acc | acc corrected |"
+    rule = "|---|---|---|---|---|---|---|"
+    if has_inst:
+        header += " acc_inst |"
+        rule += "---|"
+    lines = [header, rule]
     full = res["eval_full"]
-    lines.append(
-        "| 0.0 (full) | {} | {} | — | — | {} | — |".format(
-            f(full["precision"]), f(full["recall"]),
-            f(full["acc_category"]) if "acc_category" in full else "—",
-        )
+    row = "| 0.0 (full) | {} | {} | — | — | {} | — |".format(
+        f(full["precision"]), f(full["recall"]),
+        f(full["acc_category"]) if "acc_category" in full else "—",
     )
+    if has_inst:
+        row += f" {f(full['acc_inst'])} |"
+    lines.append(row)
     for rate in ("0.3", "0.5", "0.7", "0.9"):
         m = res["sweep"][rate]
-        lines.append(
-            "| {} | {} | {} | {} | {} | {} | {} |".format(
-                rate, f(m["precision"]), f(m["recall"]),
-                f(m.get("precision_corrected", float("nan"))),
-                f(m.get("recall_corrected", float("nan"))),
-                f(m["acc_category"]) if "acc_category" in m else "—",
-                f(m["acc_category_corrected"]) if "acc_category_corrected" in m else "—",
-            )
+        row = "| {} | {} | {} | {} | {} | {} | {} |".format(
+            rate, f(m["precision"]), f(m["recall"]),
+            f(m.get("precision_corrected", float("nan"))),
+            f(m.get("recall_corrected", float("nan"))),
+            f(m["acc_category"]) if "acc_category" in m else "—",
+            f(m["acc_category_corrected"]) if "acc_category_corrected" in m else "—",
         )
+        if has_inst:
+            row += f" {f(m['acc_inst'])} |" if "acc_inst" in m else " — |"
+        lines.append(row)
     return lines
 
 
@@ -78,7 +83,11 @@ def main(argv=None):
     for path in sorted(glob.glob(os.path.join(args.results, "*.json"))):
         name = os.path.splitext(os.path.basename(path))[0]
         with open(path) as fh:
-            runs[name] = json.load(fh)
+            data = json.load(fh)
+        # only quality runs join the sweep sections; other artifacts
+        # (scaling_cpu, bench_families, serving_bench) are linked below
+        if "sweep" in data or name == "detector":
+            runs[name] = data
 
     lines = [
         "# RESULTS — quality parity runs",
@@ -107,8 +116,19 @@ def main(argv=None):
 
     for name in order:
         res = runs[name]
-        lines.append(f"## {res['config']} ({res['layout']} layout)")
+        if name == "detector":
+            continue
+        tag = res.get("layout", res.get("family", ""))
+        lines.append(f"## {res['config']} ({tag})" if tag else f"## {res['config']}")
         lines.append("")
+        if res.get("family") == "image->shape":
+            lines.append(
+                "Image->voxel (SyntheticImageObjectLoader silhouette renders, "
+                f"multi-scale {res.get('multi_scale')}, inst_spread "
+                f"{res.get('inst_spread', 0.15)}; correction mode "
+                f"'{res.get('correction_mode', 'resample')}')."
+            )
+            lines.append("")
         lines.append(
             f"{res['steps']} steps, batch {res['batch_size']}, {res['dtype']}, "
             f"{res['train_seconds']:.0f}s train; final train metrics: "
@@ -209,6 +229,12 @@ def main(argv=None):
             f"- `{name}`: degradation monotone in missing rate: "
             f"{'yes' if mono else 'NO'}"
         )
+        if "acc_inst" in sweep[rates[0]]:
+            inst = [sweep[r]["acc_inst"] for r in rates]
+            checks.append(
+                f"  instance accuracy {f(min(inst))}-{f(max(inst))} vs 0.100 "
+                f"chance: {'above' if min(inst) > 0.1 else 'NOT above'}"
+            )
         if "acc_category_corrected" in sweep[rates[0]]:
             acc_win = all(
                 sweep[r]["acc_category_corrected"] >= sweep[r]["acc_category"] - 0.005
@@ -222,6 +248,16 @@ def main(argv=None):
                 f"{'every rate' if acc_win else 'NOT every rate'}; recall "
                 f"corrected wins at {n_rec}/{len(rates)} rates"
             )
+    for extra, label in (
+        ("scaling_cpu", "CPU-mesh scaling semantics validation"),
+        ("bench_families", "bench family snapshot"),
+        ("serving_bench", "serving latency/throughput"),
+    ):
+        path = os.path.join(args.results, extra + ".json")
+        if os.path.exists(path):
+            lines.append(f"Additional artifact: `docs/results/{extra}.json` — {label}.")
+            lines.append("")
+
     lines.append("## Summary (auto-checked)")
     lines.append("")
     lines.extend(checks)
