@@ -29,16 +29,56 @@ class TrainState(struct.PyTreeNode):
         return self.replace(step=self.step + 1, params=new_params, opt_state=new_opt_state)
 
 
+def flat_adam(
+    learning_rate: float, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """Adam over ONE contiguous flat buffer — numerically exact Adam (same
+    math; only fp reassociation at the concatenate boundaries differs).
+
+    ``optax.adam`` tree_maps over every leaf, which XLA lowers to hundreds
+    of small elementwise kernels on a ~200-leaf model; each launch is tiny
+    but the tail adds up (measured ~1.5 ms of the 14.4 ms flagship step).
+    Flattening gives the optimizer a single fused elementwise pass at full
+    HBM bandwidth; the ravel/unravel copies fuse into the pass and the
+    consumer (``optax.apply_updates``) respectively."""
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return {
+            "m": jnp.zeros_like(flat),
+            "v": jnp.zeros_like(flat),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update(grads, state, params=None):
+        del params
+        g, unravel = ravel_pytree(grads)
+        count = state["count"] + 1
+        m = b1 * state["m"] + (1.0 - b1) * g
+        v = b2 * state["v"] + (1.0 - b2) * jnp.square(g)
+        c = count.astype(m.dtype)
+        m_hat = m / (1.0 - b1**c)
+        v_hat = v / (1.0 - b2**c)
+        upd = -learning_rate * m_hat / (jnp.sqrt(v_hat) + eps)
+        return unravel(upd), {"m": m, "v": v, "count": count}
+
+    return optax.GradientTransformation(init, update)
+
+
 def create_train_state(
     model,
     sample_input,
     key: jax.Array,
     learning_rate: float = 1e-4,
     extra_init_kwargs: dict | None = None,
+    flat_opt: bool = True,
 ) -> TrainState:
     """Initialize params with a sample input and build an Adam optimizer
     (reference default lr 1e-4, e.g. train_pascal.py:70). Uses the model's
-    ``initialize`` method when present so every submodule gets params."""
+    ``initialize`` method when present so every submodule gets params.
+    ``flat_opt`` selects the fused flat-buffer Adam (exact same update;
+    see :func:`flat_adam`); False keeps the per-leaf ``optax.adam``."""
     method = getattr(model, "initialize", None)
     params = model.init(
         {"params": key, "dropout": key},
@@ -46,7 +86,7 @@ def create_train_state(
         method=method,
         **(extra_init_kwargs or {}),
     )["params"]
-    tx = optax.adam(learning_rate)
+    tx = flat_adam(learning_rate) if flat_opt else optax.adam(learning_rate)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

@@ -46,6 +46,10 @@ def main(argv=None):
                    "detection (docs/results/README.md)")
     p.add_argument("--image-noise", type=float, default=0.0,
                    help="train-time Gaussian pixel noise sigma (anti-overfit)")
+    p.add_argument("--photometric", action="store_true",
+                   help="train-time photometric jitter (brightness/contrast/"
+                        "blur/invert/hue-sat, data/augment.py::photometric_augment"
+                        " — the reference imgAug pipeline analogue)")
     p.add_argument("--out", required=True)
     p.add_argument("--artifact", default=None, help="scene overlay PNG path")
     p.add_argument("--jsonl", default=None)
@@ -97,11 +101,20 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = DetectorReconstructor(DetectorConfig(decoder=decoder), dtype=dtype)
 
-    def make_batch_fn(loader, noise=0.0, seed=0):
+    def make_batch_fn(loader, noise=0.0, seed=0, photometric=False):
         noise_rng = np.random.default_rng(seed)
 
         def batch_fn(_it):
             images, targets, voxel_lists = loader.getNextBatch(args.batch_size)
+            if photometric:
+                from anytime3d_tpu.data.augment import photometric_augment
+
+                images = np.stack(
+                    [
+                        photometric_augment(noise_rng, im * 255.0) / 255.0
+                        for im in images
+                    ]
+                ).astype(np.float32)
             if noise > 0.0:
                 images = np.clip(
                     images + noise_rng.normal(0.0, noise, images.shape), 0.0, 1.0
@@ -123,7 +136,7 @@ def main(argv=None):
     trainer = Trainer(
         model,
         state,
-        make_batch_fn(train_ld, noise=args.image_noise),
+        make_batch_fn(train_ld, noise=args.image_noise, photometric=args.photometric),
         config=TrainerConfig(
             total_steps=args.steps, log_every=200, jsonl_path=args.jsonl
         ),
@@ -178,6 +191,7 @@ def main(argv=None):
         "learning_rate": args.learning_rate,
         "train_samples": args.train_samples,
         "image_noise": args.image_noise,
+        "photometric": args.photometric,
         "train_seconds": round(train_s, 1),
         "final_train": final_train,
         "detection": {k: round(float(v), 5) for k, v in det.items()},

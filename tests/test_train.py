@@ -207,8 +207,9 @@ class TestImageModel:
 
 
 class TestSkipStepOnNonFiniteGrads:
-    """apply_gradients_if_finite: a poisoned update is dropped wholesale
-    (mixed-precision skip-step semantics) while finite updates apply.
+    """apply_gradients_if_finite: a poisoned gradient is zeroed wholesale
+    (whole-step zero-grad semantics; from a fresh state an exact no-op on
+    params) while finite updates apply.
 
     Motivating failure: a constant (all-black) image drives every GroupNorm
     group to zero variance; the backward's 1/sqrt(var+eps) compounds across
@@ -263,3 +264,36 @@ class TestSkipStepOnNonFiniteGrads:
             )
         )
         assert changed
+
+
+def test_flat_adam_matches_optax_adam():
+    """flat_adam (fused single-buffer optimizer) is exact Adam: identical
+    params to optax.adam after several steps on a ragged pytree."""
+    import optax
+
+    from anytime3d_tpu.train.state import flat_adam
+
+    rng = np.random.default_rng(0)
+    params = {
+        "a": jnp.asarray(rng.normal(size=(37, 13)).astype(np.float32)),
+        "b": {
+            "c": jnp.asarray(rng.normal(size=(5,)).astype(np.float32)),
+            "d": jnp.asarray(rng.normal(size=(2, 3, 4)).astype(np.float32)),
+        },
+    }
+    g = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape).astype(np.float32)), params
+    )
+    ref_tx, new_tx = optax.adam(1e-3), flat_adam(1e-3)
+    ref_s, new_s = ref_tx.init(params), new_tx.init(params)
+    p_ref, p_new = params, params
+    for _ in range(5):
+        ur, ref_s = ref_tx.update(g, ref_s, p_ref)
+        un, new_s = new_tx.update(g, new_s, p_new)
+        p_ref = optax.apply_updates(p_ref, ur)
+        p_new = optax.apply_updates(p_new, un)
+        g = jax.tree_util.tree_map(lambda x: x * 0.9, g)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_new)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7)
