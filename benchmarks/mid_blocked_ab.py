@@ -21,7 +21,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_arm(name: str, mid: bool, iters: int):
+def run_arm(name: str, mid, iters: int):
     import jax
     import jax.numpy as jnp
 
@@ -32,10 +32,15 @@ def run_arm(name: str, mid: bool, iters: int):
 
     batch_size = 32
     model_cfg, loss_cfg = configs.variant("modelnet_nolbo")
-    if mid:
+    enc_mid, dec_mid = (mid, mid) if isinstance(mid, bool) else mid
+    if enc_mid:
         model_cfg = dataclasses.replace(
             model_cfg,
             encoder3d=dataclasses.replace(model_cfg.encoder3d, mid_blocked=True),
+        )
+    if dec_mid:
+        model_cfg = dataclasses.replace(
+            model_cfg,
             decoder=dataclasses.replace(model_cfg.decoder, mid_blocked=True),
         )
     model = MultiModalVAE(model_cfg, dtype=jnp.bfloat16)
@@ -67,7 +72,8 @@ def run_arm(name: str, mid: bool, iters: int):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--arm", default="both", choices=["both", "classic", "mid"])
+    p.add_argument("--arm", default="both",
+                   choices=["both", "classic", "mid", "enc_mid", "dec_mid"])
     p.add_argument("--iters", type=int, default=30)
     args = p.parse_args()
 
@@ -78,6 +84,10 @@ def main():
         run_arm("blocked_head_tail", False, args.iters)
     if args.arm in ("both", "mid"):
         run_arm("blocked_head_tail+mid", True, args.iters)
+    if args.arm == "enc_mid":
+        run_arm("enc_mid_only", (True, False), args.iters)
+    if args.arm == "dec_mid":
+        run_arm("dec_mid_only", (False, True), args.iters)
 
 
 if __name__ == "__main__":
