@@ -35,12 +35,13 @@ def flat_adam(
     """Adam over ONE contiguous flat buffer — numerically exact Adam (same
     math; only fp reassociation at the concatenate boundaries differs).
 
-    ``optax.adam`` tree_maps over every leaf, which XLA lowers to hundreds
-    of small elementwise kernels on a ~200-leaf model; each launch is tiny
-    but the tail adds up (measured ~1.5 ms of the 14.4 ms flagship step).
-    Flattening gives the optimizer a single fused elementwise pass at full
-    HBM bandwidth; the ravel/unravel copies fuse into the pass and the
-    consumer (``optax.apply_updates``) respectively."""
+    MEASURED NEGATIVE RESULT (kept for documentation): on the v5e flagship
+    step this is 16.4 ms vs 14.4 ms for per-leaf ``optax.adam`` — the
+    ravel/unravel concatenate/slice copies MATERIALIZE (108 MB each way)
+    instead of fusing, and they serialize against the per-leaf gradient
+    producers. XLA already handles the per-leaf optimizer well; the
+    hundreds-of-small-kernels theory did not survive measurement
+    (docs/KERNELS.md round-3 log). Default off."""
     from jax.flatten_util import ravel_pytree
 
     def init(params):
@@ -72,13 +73,13 @@ def create_train_state(
     key: jax.Array,
     learning_rate: float = 1e-4,
     extra_init_kwargs: dict | None = None,
-    flat_opt: bool = True,
+    flat_opt: bool = False,
 ) -> TrainState:
     """Initialize params with a sample input and build an Adam optimizer
     (reference default lr 1e-4, e.g. train_pascal.py:70). Uses the model's
     ``initialize`` method when present so every submodule gets params.
-    ``flat_opt`` selects the fused flat-buffer Adam (exact same update;
-    see :func:`flat_adam`); False keeps the per-leaf ``optax.adam``."""
+    ``flat_opt`` selects the flat-buffer Adam (exact same update; measured
+    SLOWER on TPU — see :func:`flat_adam`); default per-leaf ``optax.adam``."""
     method = getattr(model, "initialize", None)
     params = model.init(
         {"params": key, "dropout": key},
