@@ -236,6 +236,7 @@ def main(argv=None):
         "train_seconds": round(train_s, 1),
         "train_samples": args.train_samples,
         "eval_samples": args.eval_samples,
+        "inst_spread": args.inst_spread,
         "correction_mode": correction,
         "final_train": final_train,
         "eval_full": {k: round(float(v), 5) for k, v in eval_full.items()},

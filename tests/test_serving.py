@@ -308,3 +308,58 @@ class TestPackedIO:
         model = MultiModalVAE(cfg)
         with _pytest.raises(ValueError):
             export_infer(model, {}, (1, 64, 64, 3), packed_input=True)
+
+
+class TestHTTPServer:
+    """serving/server.py: end-to-end HTTP round trip over the packed-IO
+    exported program (stdlib client, ephemeral port)."""
+
+    def test_http_roundtrip(self):
+        import base64
+        import http.client
+        import json as _json
+
+        from anytime3d_tpu.data.packing import pack_voxels
+        from anytime3d_tpu.serving import export_infer
+        from anytime3d_tpu.serving.server import InferenceServer
+
+        model, params, batch = _make_model(with_prior=True)
+        shape = (4, DIM, DIM, DIM, 1)
+        data = export_infer(
+            model, params, shape, packed_input=True, packed_output=True
+        )
+        server = InferenceServer(
+            data, (DIM**3 // 8,), Z, batch_size=4, max_wait_s=0.002
+        )
+        try:
+            port = server.serve(0, background=True)
+            x = np.asarray(batch["input"][:1])
+            packed = pack_voxels(x)[0]
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            body = _json.dumps({
+                "voxels_packed_b64": base64.b64encode(packed.tobytes()).decode(),
+                "mask": [1.0] * Z,
+            })
+            conn.request("POST", "/infer", body,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert resp.status == 200, resp.read()
+            out = _json.loads(resp.read())
+            assert "category" in out and isinstance(out["category"], int)
+            assert len(out["z_mean"]) == Z  # z_dim of the tiny model
+            pred = np.frombuffer(
+                base64.b64decode(out["pred_packed_b64"]), np.uint8
+            )
+            assert pred.size == DIM**3 // 8
+            # healthz
+            conn.request("GET", "/healthz")
+            h = _json.loads(conn.getresponse().read())
+            assert h["ok"] and h["batches_run"] >= 1
+            # malformed body -> 400, server stays alive
+            conn.request("POST", "/infer", "{bad json",
+                         {"Content-Type": "application/json"})
+            assert conn.getresponse().status == 400
+            conn.request("GET", "/healthz")
+            assert _json.loads(conn.getresponse().read())["ok"]
+        finally:
+            server.close()
