@@ -137,6 +137,9 @@ def main(argv=None):
             )
         )
         lines.append("")
+        if res.get("note"):
+            lines.append(res["note"])
+            lines.append("")
         lines.extend(sweep_table(res))
         lines.append("")
         lines.append(
