@@ -49,7 +49,26 @@ def detector_losses(
     """Batch fields: ``images`` (B, H, W, 3); grid targets ``objness``
     (B, gh, gw, P, 1), ``bbox`` (h, w, x, y), ``sin``/``cos`` (…, 3);
     ``voxels`` (B, S, D, D, D, 1) per-image shape slots and ``voxel_slot``
-    (B, gh, gw, P) int32 indices into them (-1 = empty)."""
+    (B, gh, gw, P) int32 indices into them (-1 = empty).
+
+    Tunnel-friendly transfer forms (dispatch outrunning a thin host->device
+    link retains every in-flight batch host-side — a 10 MB/step raw stream
+    wedged a 65 GB backlog on the 54 MB/s axon tunnel): ``images`` may be
+    uint8 (normalized in-graph) and ``voxels`` may arrive bit-packed as
+    ``voxels_packed`` (B, S, prod(grid)/8) uint8 (32x smaller; grid shape
+    comes from the model's decoder config)."""
+    if "voxels_packed" in batch:
+        from anytime3d_tpu.data.packing import unpack_voxels
+
+        grid = model.config.decoder.output_shape
+        pk = batch["voxels_packed"]
+        vox = unpack_voxels(
+            pk.reshape(-1, pk.shape[-1]), grid
+        ).reshape(pk.shape[0], pk.shape[1], *grid)
+        batch = {k: v for k, v in batch.items() if k != "voxels_packed"}
+        batch["voxels"] = vox
+    if batch["images"].dtype == jnp.uint8:
+        batch = dict(batch, images=batch["images"].astype(jnp.float32) / 255.0)
     fields = model.apply({"params": params}, batch["images"])
     obj_t = batch["objness"]
     mask = obj_t[..., 0]  # (B, gh, gw, P)

@@ -86,7 +86,7 @@ def main(argv=None):
             data = json.load(fh)
         # only quality runs join the sweep sections; other artifacts
         # (scaling_cpu, bench_families, serving_bench) are linked below
-        if "sweep" in data or name == "detector":
+        if "sweep" in data or name.startswith("detector"):
             runs[name] = data
 
     lines = [
@@ -200,25 +200,33 @@ def main(argv=None):
                 )
             lines.append("")
 
-    if "detector" in runs:
-        d = runs["detector"]["detection"]
+    det_runs = {k: v for k, v in runs.items() if k.startswith("detector")}
+    if det_runs:
         lines.append("## Detector (synthetic multi-object curriculum)")
         lines.append("")
-        lines.append(
-            f"{runs['detector']['steps']} steps; P {f(d['det_precision'])} "
-            f"R {f(d['det_recall'])} mAP@0.5 {f(d['map50'])} "
-            f"(full-curve {f(d.get('map50_full_curve', float('nan')))}) "
-            f"orientation MAE {f(d['ori_mae_rad'])} rad"
-        )
-        if runs["detector"].get("note"):
-            lines.append("")
-            lines.append(runs["detector"]["note"])
-        if runs["detector"].get("artifact"):
-            lines.append("")
+        lines.append("Held-out detection vs curriculum size (the r2 diagnosis"
+                      " was curriculum-bound; photometric = imgAug-style"
+                      " train-time jitter):")
+        lines.append("")
+        lines.append("| run | scenes | steps | photometric | P | R | mAP@0.5 | ori MAE (rad) |")
+        lines.append("|---|---|---|---|---|---|---|---|")
+        for k in sorted(det_runs, key=lambda k: det_runs[k].get("train_samples", 1024)):
+            r = det_runs[k]
+            d = r["detection"]
             lines.append(
-                f"Scene-reconstruction overlay artifact: {runs['detector']['artifact']}"
+                f"| {k} | {r.get('train_samples', 1024)} | {r['steps']} | "
+                f"{'yes' if r.get('photometric') else 'no'} | "
+                f"{f(d['det_precision'])} | {f(d['det_recall'])} | "
+                f"{f(d['map50'])} | {f(d['ori_mae_rad'])} |"
             )
         lines.append("")
+        for k, r in sorted(det_runs.items()):
+            if r.get("note"):
+                lines.append(f"`{k}`: {r['note']}")
+                lines.append("")
+            if r.get("artifact"):
+                lines.append(f"`{k}` scene overlay artifact: {r['artifact']}")
+                lines.append("")
 
     # ---- auto-checked summary of the reference's claimed behaviors
     checks = []

@@ -101,7 +101,7 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = DetectorReconstructor(DetectorConfig(decoder=decoder), dtype=dtype)
 
-    def make_batch_fn(loader, noise=0.0, seed=0, photometric=False):
+    def make_batch_fn(loader, noise=0.0, seed=0, photometric=False, packed=True):
         noise_rng = np.random.default_rng(seed)
 
         def batch_fn(_it):
@@ -122,6 +122,20 @@ def main(argv=None):
             b = collate_multiobject(
                 images, targets, voxel_lists, max_slots=args.max_slots
             )
+            if packed:
+                # tunnel-friendly TRAIN transfer: uint8 images + bit-packed
+                # voxels (raw float batches are 10 MB/step; dispatch outruns
+                # the 54 MB/s tunnel and the host backlog wedges the client —
+                # observed at 65 GB RSS before this change). Eval batches
+                # stay float (the detection protocol feeds images directly).
+                from anytime3d_tpu.data.packing import pack_voxels
+
+                vox = b.pop("voxels")
+                B, S = vox.shape[:2]
+                b["voxels_packed"] = pack_voxels(
+                    vox.reshape(B * S, -1)
+                ).reshape(B, S, -1)
+                b["images"] = (np.clip(b["images"], 0.0, 1.0) * 255).astype(np.uint8)
             return {k: jnp.asarray(v) for k, v in b.items()}
 
         return batch_fn
@@ -149,7 +163,9 @@ def main(argv=None):
     print(f"\ntrained {args.steps} steps in {train_s:.1f}s; final:", final_train)
 
     # fixed eval batches so detection metrics are reproducible
-    eval_batches = [make_batch_fn(eval_ld)(i) for i in range(args.eval_batches)]
+    eval_batches = [
+        make_batch_fn(eval_ld, packed=False)(i) for i in range(args.eval_batches)
+    ]
     det = evaluate_detector(
         model, final_state.params, lambda i: eval_batches[i],
         num_batches=args.eval_batches, obj_thresh=0.5,

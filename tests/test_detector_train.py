@@ -172,3 +172,38 @@ class TestAveragePrecision:
             model, state.params, lambda _i: batch, num_batches=1, obj_thresh=0.1
         )
         assert "map50" in m and 0.0 <= m["map50"] <= 1.0
+
+
+def test_packed_batch_matches_unpacked():
+    """The tunnel transfer form (uint8 images + bit-packed voxels) produces
+    the same loss as the raw float batch, bit-for-bit where images quantize
+    exactly (we feed images already on the 1/255 grid)."""
+    from anytime3d_tpu.data.packing import pack_voxels
+
+    model = tiny_detector()
+    batch = make_batch()
+    # snap images onto the uint8 grid so both forms see identical pixels
+    img_u8 = (np.asarray(batch["images"]) * 255).astype(np.uint8)
+    batch = dict(batch, images=jnp.asarray(img_u8.astype(np.float32) / 255.0))
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"],
+        method=DetectorReconstructor.initialize,
+    )["params"]
+    key = jax.random.PRNGKey(1)
+    loss_ref, m_ref = detector_losses(model, DetectorLossConfig(), params, batch, key)
+
+    vox = np.asarray(batch["voxels"])
+    B, S = vox.shape[:2]
+    packed_batch = {k: v for k, v in batch.items() if k != "voxels"}
+    packed_batch["voxels_packed"] = jnp.asarray(
+        pack_voxels(vox.reshape(B * S, -1)).reshape(B, S, -1)
+    )
+    packed_batch["images"] = jnp.asarray(img_u8)
+    loss_pk, m_pk = detector_losses(
+        model, DetectorLossConfig(), params, packed_batch, key
+    )
+    np.testing.assert_allclose(float(loss_pk), float(loss_ref), rtol=1e-6)
+    for k in m_ref:
+        np.testing.assert_allclose(
+            float(m_pk[k]), float(m_ref[k]), rtol=1e-5, atol=1e-7
+        )
