@@ -50,6 +50,7 @@ def main(argv=None):
                    help="train-time photometric jitter (brightness/contrast/"
                         "blur/invert/hue-sat, data/augment.py::photometric_augment"
                         " — the reference imgAug pipeline analogue)")
+    p.add_argument("--save-path", default=None, help="orbax checkpoint dir")
     p.add_argument("--out", required=True)
     p.add_argument("--artifact", default=None, help="scene overlay PNG path")
     p.add_argument("--jsonl", default=None)
@@ -152,7 +153,8 @@ def main(argv=None):
         state,
         make_batch_fn(train_ld, noise=args.image_noise, photometric=args.photometric),
         config=TrainerConfig(
-            total_steps=args.steps, log_every=200, jsonl_path=args.jsonl
+            total_steps=args.steps, log_every=200, jsonl_path=args.jsonl,
+            save_path=args.save_path, save_every=max(args.steps // 2, 1),
         ),
         step_fn=step,
     )
@@ -177,6 +179,17 @@ def main(argv=None):
     )
     det["map50_full_curve"] = det_lowt["map50"]
     print("detection eval:", {k: round(float(v), 4) for k, v in det.items()})
+
+    # train-set detection: separates can't-generalize from can't-detect-at-
+    # all (a structural decode/protocol failure shows up here too)
+    train_eval_batches = [
+        make_batch_fn(train_ld, packed=False)(i) for i in range(args.eval_batches)
+    ]
+    det_train = evaluate_detector(
+        model, final_state.params, lambda i: train_eval_batches[i],
+        num_batches=args.eval_batches, obj_thresh=0.1,
+    )
+    print("TRAIN-set detection:", {k: round(float(v), 4) for k, v in det_train.items()})
 
     artifact = None
     if args.artifact:
@@ -211,6 +224,7 @@ def main(argv=None):
         "train_seconds": round(train_s, 1),
         "final_train": final_train,
         "detection": {k: round(float(v), 5) for k, v in det.items()},
+        "detection_trainset": {k: round(float(v), 5) for k, v in det_train.items()},
         "artifact": artifact,
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
