@@ -155,7 +155,22 @@ def detector_losses(
         ).reshape(b * k, *batch["voxels"].shape[2:])
         per = focal_binary_loss(pred_vox, tgt_vox, gamma=cfg.gamma)
         vmask = valid.reshape(-1).astype(jnp.float32)
-        loss_shape = cfg.lambda_shape * jnp.sum(per * vmask) / jnp.maximum(jnp.sum(vmask), 1.0)
+        # PER-VOXEL mean, not the reference's per-sample voxel SUM: the sum
+        # form is ~4400 against O(1) detection terms, and through the SHARED
+        # backbone that 1000x gradient imbalance collapsed every detection
+        # head to an input-independent marginal (diagnosed r3: identical
+        # boxes on every image, train-set mAP 0.05). The decoder itself is
+        # scale-invariant under Adam; only the shared-trunk mixing ratio
+        # changes.
+        vox_count = float(
+            int(jnp.asarray(batch["voxels"].shape[2:-1]).prod())
+            * batch["voxels"].shape[-1]
+        )
+        loss_shape = (
+            cfg.lambda_shape
+            * jnp.sum(per * vmask)
+            / (jnp.maximum(jnp.sum(vmask), 1.0) * vox_count)
+        )
         metrics["loss_shape"] = loss_shape
         tp, fp, fn = voxel_tp_fp_fn(tgt_vox, pred_vox)
         sel = vmask > 0

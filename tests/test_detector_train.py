@@ -63,12 +63,13 @@ class TestDetectorTraining:
             self.model, DetectorLossConfig(shape_decode_per_image=2), donate=False
         )
         state = self.state
-        first = None
-        for i in range(8):
+        losses = []
+        for i in range(14):
             state, m = step(state, self.batch, jax.random.PRNGKey(i))
-            if first is None:
-                first = float(m["loss_total"])
-        assert float(m["loss_total"]) < first
+            losses.append(float(m["loss_total"]))
+        # per-step RNG (latent sampling, ori NLL) makes single-step deltas
+        # noisy; compare windowed means
+        assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
     def test_detection_eval_protocol(self):
         from anytime3d_tpu.evaluation.detection import (
