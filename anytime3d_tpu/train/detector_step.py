@@ -14,6 +14,7 @@ it (nolbo_test.py:247-255).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Dict
 
 import jax
@@ -162,10 +163,7 @@ def detector_losses(
         # boxes on every image, train-set mAP 0.05). The decoder itself is
         # scale-invariant under Adam; only the shared-trunk mixing ratio
         # changes.
-        vox_count = float(
-            int(jnp.asarray(batch["voxels"].shape[2:-1]).prod())
-            * batch["voxels"].shape[-1]
-        )
+        vox_count = float(math.prod(batch["voxels"].shape[2:]))
         loss_shape = (
             cfg.lambda_shape
             * jnp.sum(per * vmask)
