@@ -116,7 +116,7 @@ def main(argv=None):
 
     for name in order:
         res = runs[name]
-        if name == "detector":
+        if name.startswith("detector"):
             continue
         tag = res.get("layout", res.get("family", ""))
         lines.append(f"## {res['config']} ({tag})" if tag else f"## {res['config']}")
@@ -232,6 +232,8 @@ def main(argv=None):
     checks = []
     for name in order:
         res = runs[name]
+        if "sweep" not in res:
+            continue
         sweep = res["sweep"]
         rates = sorted(sweep, key=float)
         rec = [sweep[r]["recall"] for r in rates]
