@@ -33,7 +33,7 @@ def collate_multiobject(
         voxels[i, :n] = vl[:n]
         overflow = slot[i] >= max_slots
         slot[i][overflow] = -1
-    return {
+    out = {
         "images": images.astype(np.float32),
         "objness": targets["objness"],
         "bbox": targets["bbox"],
@@ -43,3 +43,6 @@ def collate_multiobject(
         "voxel_slot": slot,
         "voxels": voxels,
     }
+    if "bbox3d" in targets:  # metric (w, h, l) supervision when available
+        out["bbox3d"] = targets["bbox3d"]
+    return out

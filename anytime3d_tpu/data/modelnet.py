@@ -311,6 +311,16 @@ class SyntheticMultiObjectLoader(SyntheticVoxelLoader):
                 patch = render(self, vox, az, (w, h))
                 region = img[r0 : r0 + h, c0 : c0 + w]
                 np.maximum(region, patch, out=region)
+                # metric (w, h, l) from the voxel occupancy extents at a
+                # nominal 4 m object scale — trains the bbox3d head so the
+                # metric-lifting pipeline (geometry/lifting.py) gets real
+                # sizes (KITTI labels provide these on real data)
+                occ = np.nonzero(vox > 0.5)
+                ext = np.array(
+                    [o.max() - o.min() + 1 if len(o) else 1 for o in occ],
+                    np.float32,
+                ) / vox.shape[0]
+                whl = np.array([ext[2], ext[1], ext[0]], np.float32) * 4.0
                 objs.append(
                     {
                         "bbox": np.array(
@@ -322,6 +332,7 @@ class SyntheticMultiObjectLoader(SyntheticVoxelLoader):
                             self._insts[i]
                         ],
                         "voxel_index": len(voxels),
+                        "bbox3d_whl": whl,
                     }
                 )
                 voxels.append(vox[..., None])

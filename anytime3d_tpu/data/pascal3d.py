@@ -269,6 +269,11 @@ def build_grid_targets(
     cos_t = np.zeros((gr_n, gc_n, p, 3), np.float32)
     inst_t = np.zeros((gr_n, gc_n, p, inst_dim), np.float32)
     slot_t = np.full((gr_n, gc_n, p), -1, np.int32)
+    # metric (w, h, l) supervision is optional (KITTI labels / synthetic
+    # scenes carry it; Pascal objInfo does not) — emitted only when every
+    # object provides it
+    with_b3 = bool(objects) and all("bbox3d_whl" in o for o in objects)
+    b3_t = np.zeros((gr_n, gc_n, p, 3), np.float32)
 
     for obj in objects:
         x0, y0, x1, y1 = obj["bbox"]
@@ -289,7 +294,9 @@ def build_grid_targets(
         cos_t[gr_i, gc_i, slot] = np.cos(euler)
         inst_t[gr_i, gc_i, slot] = obj["inst_onehot"]
         slot_t[gr_i, gc_i, slot] = obj["voxel_index"]
-    return {
+        if with_b3:
+            b3_t[gr_i, gc_i, slot] = obj["bbox3d_whl"]
+    out = {
         "objness": objness,
         "bbox": bbox,
         "sin": sin_t,
@@ -297,6 +304,9 @@ def build_grid_targets(
         "inst": inst_t,
         "voxel_slot": slot_t,
     }
+    if with_b3:
+        out["bbox3d"] = b3_t
+    return out
 
 
 class Pascal3DMultiObjectLoader(_PascalBase):
