@@ -38,12 +38,16 @@ def _fence_time(step_fn, state, batch, iters=20):
 
     iters = int(os.environ.get("ANYTIME3D_BENCH_ITERS", iters))
 
+    # pre-build PRNG keys: PRNGKey() is a host->device transfer, and on the
+    # tunneled backend constructing them inside the timed loop adds ~0.4 ms
+    # per step of transfer latency that is NOT the step's cost
+    keys = [jax.random.PRNGKey(i) for i in range(3 + iters)]
     for i in range(3):
-        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+        state, metrics = step_fn(state, batch, keys[i])
     float(next(iter(metrics.values())))
     t0 = _t.perf_counter()
     for i in range(iters):
-        state, metrics = step_fn(state, batch, jax.random.PRNGKey(100 + i))
+        state, metrics = step_fn(state, batch, keys[3 + i])
     float(next(iter(metrics.values())))
     return _t.perf_counter() - t0
 
@@ -144,6 +148,8 @@ def bench_detector():
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -179,15 +185,21 @@ def main():
 
     # warmup / compile. NOTE: on the axon-tunneled platform
     # jax.block_until_ready returns at enqueue time, not completion — a real
-    # device->host scalar fetch is the only reliable fence.
+    # device->host scalar fetch is the only reliable fence. PRNG keys are
+    # pre-built: constructing them in the timed loop adds per-step transfer
+    # latency that is not the step's cost.
+    # 50-step window: ONE device->host fence per window, so the fence's
+    # tunnel RTT amortizes to <0.5 ms/step (at 20 iters it biased the step
+    # +1 ms)
+    iters = int(os.environ.get("ANYTIME3D_BENCH_ITERS", 50))
+    keys = [jax.random.PRNGKey(i) for i in range(3 + iters)]
     for i in range(3):
-        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        state, metrics = step(state, batch, keys[i])
     float(metrics["loss_total"])
 
-    iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+        state, metrics = step(state, batch, keys[3 + i])
     float(metrics["loss_total"])  # fence: forces the whole 20-step chain
     dt = time.perf_counter() - t0
 
