@@ -94,6 +94,7 @@ def evaluate_detector(
     num_batches: int = 8,
     obj_thresh: float = 0.5,
     iou_thresh: float = 0.5,
+    top_1_per_cell: bool = True,
 ) -> Dict[str, float]:
     """Detection precision/recall at ``iou_thresh`` + matched orientation MAE.
 
@@ -103,7 +104,10 @@ def evaluate_detector(
     nolbo_test.py:86).
     """
     detect = jax.jit(
-        lambda p, img: model.apply({"params": p}, img, method=DetectorReconstructor.detect)
+        lambda p, img: model.apply(
+            {"params": p}, img, obj_thresh, iou_thresh, top_1_per_cell,
+            method=DetectorReconstructor.detect,
+        )
     )
     tp = fp = fn_ = 0
     ori_err, n_matched = 0.0, 0
