@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--item-bytes", type=int, default=None,
                    help="packed item length (defaults to dim^3/8)")
     p.add_argument("--port", type=int, default=8731)
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address (default loopback; the endpoint is "
+                        "unauthenticated — use 0.0.0.0 only deliberately)")
     p.add_argument("--max-wait-ms", type=float, default=2.0)
     p.add_argument("--bf16", action="store_true")
     args = p.parse_args(argv)
@@ -83,7 +86,7 @@ def main(argv=None):
     print(f"serving on :{args.port} (item {item_bytes} B packed, "
           f"mask {mask_dim}, batch {args.batch_size})")
     try:
-        server.serve(args.port)
+        server.serve(args.port, host=args.host)
     except KeyboardInterrupt:
         pass
     finally:

@@ -171,10 +171,11 @@ class Encoder3D(nn.Module):
                 sizes[0] = max(1, -(-sizes[0] // b))  # ceil-div receptive field
                 strides[0] //= b
         for f, k, s in zip(filters[:-1], sizes[:-1], strides[:-1]):
-            if cfg.mid_blocked and s == 2 and min(x.shape[1:4]) >= 2:
+            if cfg.mid_blocked and s == 2 and k == 4 and min(x.shape[1:4]) >= 2:
                 # stride-2 k=4 SAME conv == k=2 s=1 conv over the s2d(2)
                 # phase-folded grid (same 4-tap family; stride-1 tiling and
-                # no dilated backward)
+                # no dilated backward). The equivalence is k=4-specific —
+                # any other kernel size falls through to the classic conv.
                 x = space_to_depth3d(x, 2)
                 x = ConvBlock3D(f, 2, 1, act=cfg.act, dtype=self.dtype)(x)
             else:
@@ -218,7 +219,7 @@ class Decoder3D(nn.Module):
             raise ValueError("blocked_output requires the blocked-tail layout")
         n_mid = len(cfg.filter_nums) - (2 if blocked else 1)
         for f, k, s in zip(cfg.filter_nums[:n_mid], cfg.filter_sizes[:n_mid], cfg.strides[:n_mid]):
-            if cfg.mid_blocked and s == 2:
+            if cfg.mid_blocked and s == 2 and k == 4:
                 # stride-2 k=4 transpose == k=2 s=1 conv emitting 8*C phase
                 # channels + d2s(2) (the pixel-shuffle form of final_mode,
                 # applied mid-stack). Norm/act AFTER the d2s: identical

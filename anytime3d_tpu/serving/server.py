@@ -68,6 +68,15 @@ class InferenceServer:
                 base64.b64decode(body["voxels_packed_b64"]), np.uint8
             )
         else:
+            if self._dtype == np.uint8:
+                # Packed-IO server: casting a float occupancy grid to uint8
+                # would silently truncate [0,1] values to all-zeros and
+                # return a confident wrong prediction. Fail the request.
+                raise ValueError(
+                    "this server takes packed-bit input: send "
+                    "'voxels_packed_b64' (np.packbits of the boolean grid), "
+                    "not raw 'input' floats"
+                )
             x = np.asarray(body["input"], np.float32)
         x = x.reshape(self._item_shape).astype(self._dtype)
         mask = (
@@ -128,9 +137,12 @@ class InferenceServer:
 
         return Handler
 
-    def serve(self, port: int, background: bool = False) -> int:
-        """Bind and serve; returns the bound port (0 = ephemeral)."""
-        self._httpd = ThreadingHTTPServer(("0.0.0.0", port), self.make_handler())
+    def serve(self, port: int, background: bool = False, host: str = "127.0.0.1") -> int:
+        """Bind and serve; returns the bound port (0 = ephemeral).
+
+        Binds loopback by default — the endpoint is unauthenticated; pass
+        ``host='0.0.0.0'`` (cli/serve ``--host``) for deliberate exposure."""
+        self._httpd = ThreadingHTTPServer((host, port), self.make_handler())
         bound = self._httpd.server_address[1]
         if background:
             t = threading.Thread(target=self._httpd.serve_forever, daemon=True)

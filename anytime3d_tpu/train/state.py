@@ -98,16 +98,22 @@ def create_train_state(
 
 
 def grads_finite_flag(grads) -> jnp.ndarray:
-    """1.0 iff every gradient leaf is finite (sum-of-squares test in f32).
+    """1.0 iff every gradient leaf is finite (exact per-leaf isfinite test).
 
     Emitted by every train step as ``metrics['grads_finite']`` so the trainer
     can refuse to checkpoint a state whose UPDATE was poisoned even when the
-    forward loss was still finite (bf16 backward-only overflow)."""
-    sq = sum(
-        jnp.sum(jnp.square(g.astype(jnp.float32)))
-        for g in jax.tree_util.tree_leaves(grads)
-    )
-    return jnp.isfinite(sq).astype(jnp.float32)
+    forward loss was still finite (bf16 backward-only overflow).
+
+    Per-leaf ``jnp.all(isfinite)`` ANDed across leaves — exact semantics.
+    (The earlier sum-of-squares formulation could overflow f32 on a large
+    but finite gradient and falsely zero a legitimate update; ADVICE r3.)"""
+    flags = [
+        jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)
+    ]
+    ok = flags[0]
+    for f in flags[1:]:
+        ok = jnp.logical_and(ok, f)
+    return ok.astype(jnp.float32)
 
 
 def l2_penalty(params, weight: float = 5e-4) -> jax.Array:
