@@ -21,8 +21,9 @@ force one XLA compilation per distinct batch size.
   ``fn(x, mask) -> dict`` — typically :func:`serving.export.load_infer`'s
   deserialized program, so the server process needs no model code.
 
-Thread-safety: one worker thread owns the device call; ``submit`` is safe
-from any number of threads.
+Thread-safety: one dispatcher thread owns the device call and one
+completion thread owns result fetching (``max_in_flight`` batches pipeline
+between them); ``submit`` is safe from any number of threads.
 """
 
 from __future__ import annotations
@@ -50,9 +51,18 @@ class MicroBatcher:
         max_wait_s: float = 0.005,
         input_dtype=np.float32,
         mask_dtype=np.float32,
+        max_in_flight: int = 2,
     ):
         """``input_shape`` is the PER-ITEM shape (no batch dim), e.g.
-        (64, 64, 64, 1). ``mask_dim`` is the latent-mask width z_cat_dim."""
+        (64, 64, 64, 1). ``mask_dim`` is the latent-mask width z_cat_dim.
+
+        ``max_in_flight`` device batches may be enqueued before their
+        results have been fetched: jax dispatch is async (the call returns
+        at enqueue), so batch k+1's host-side packing and device enqueue
+        overlap batch k's device compute AND its device->host result fetch
+        (which on tunneled backends costs a full RTT). One completion
+        thread fetches + distributes in FIFO order; ``max_in_flight=1``
+        restores strict serial behavior."""
         self._fn = infer_fn
         self._b = int(batch_size)
         self._item_shape = tuple(input_shape)
@@ -63,11 +73,16 @@ class MicroBatcher:
         # but still expect float observation masks
         self._mask_dtype = mask_dtype
         self._q: "queue.Queue" = queue.Queue()
+        # dispatched-but-unfetched batches; bounded => backpressure on the
+        # dispatcher so at most max_in_flight device batches are in flight
+        self._pending: "queue.Queue" = queue.Queue(maxsize=max(1, int(max_in_flight)))
         self._closed = threading.Event()
         self._submit_lock = threading.Lock()  # orders submit() vs close()
         self.batches_run = 0  # observability: compiled-shape dispatch count
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+        self._completer = threading.Thread(target=self._complete, daemon=True)
+        self._completer.start()
 
     # ---- client API ------------------------------------------------------
     def submit(self, x, mask: Optional[np.ndarray] = None) -> Future:
@@ -93,11 +108,13 @@ class MicroBatcher:
         return fut
 
     def close(self):
-        """Drain outstanding requests, then stop the worker."""
+        """Drain outstanding requests, then stop both threads."""
         with self._submit_lock:
             self._closed.set()
             self._q.put(None)  # wake the worker; nothing can enqueue after
         self._worker.join()
+        self._pending.put(None)  # after the dispatcher: preserves FIFO drain
+        self._completer.join()
 
     def __enter__(self):
         return self
@@ -147,19 +164,19 @@ class MicroBatcher:
             pass
 
     def _run(self):
+        """Dispatcher: coalesce -> pack -> enqueue the device call. The call
+        returns at enqueue (async jax dispatch); fetching is the completion
+        thread's job, so the next group's host packing overlaps this
+        group's device compute and result transfer."""
         while True:
             group = self._collect()
             if not group:
                 if self._closed.is_set() and self._q.empty():
                     return
                 continue
-            n = len(group)
-            # the ENTIRE group handling — including per-item result
-            # distribution — is fenced: any failure (device error, bad output
-            # pytree, a non-batched output leaf whose v[i] would raise)
-            # resolves every waiter instead of killing the worker and
-            # deadlocking all future submits
-            resolved = 0
+            # dispatch is fenced: a failure HERE (bad input, dispatch error)
+            # resolves this group's waiters instead of killing the worker
+            # and deadlocking all future submits
             try:
                 xs = np.zeros((self._b,) + self._item_shape, self._dtype)
                 masks = np.ones((self._b, self._mask_dim), self._mask_dtype)
@@ -167,6 +184,28 @@ class MicroBatcher:
                     xs[i] = x
                     masks[i] = m
                 out = self._fn(jnp.asarray(xs), jnp.asarray(masks))
+            except Exception as e:
+                for _, _, fut in group:
+                    self._resolve(fut, exc=e)
+                continue
+            # blocks when max_in_flight batches are unfetched (backpressure)
+            self._pending.put((group, out))
+
+    def _complete(self):
+        """Completion thread: fetch each dispatched batch's outputs
+        (device->host) and distribute per-item results, in FIFO order."""
+        while True:
+            item = self._pending.get()
+            if item is None:
+                return
+            group, out = item
+            n = len(group)
+            # fetch + distribution fenced for the same liveness reason: a
+            # device error surfaces at fetch time under async dispatch, and
+            # a bad output pytree (non-batched leaf) must fail the waiters,
+            # not this thread
+            resolved = 0
+            try:
                 out = {k: np.asarray(v) for k, v in out.items()}
                 self.batches_run += 1
                 for i in range(n):

@@ -121,6 +121,48 @@ class TestMicroBatcher:
             )
             assert r["pred"].shape == (DIM, DIM, DIM, 1)
 
+    def test_pipelines_two_batches_in_flight(self):
+        """With async dispatch (emulated: the call returns instantly, the
+        result materializes T later), max_in_flight=2 overlaps batch k+1's
+        dispatch with batch k's completion: 4 batches finish in ~2T instead
+        of serial 4T (r3 verdict weak #7 — the 32-client serving ceiling)."""
+        import time as _time
+
+        T = 0.08
+
+        class LazyResult:
+            """Device-array stand-in: np.asarray blocks until ready_at."""
+
+            def __init__(self, ready_at, n):
+                self._ready_at = ready_at
+                self._n = n
+
+            def __array__(self, dtype=None, copy=None):
+                d = self._ready_at - _time.monotonic()
+                if d > 0:
+                    _time.sleep(d)
+                return np.zeros((self._n, 1), np.float32)
+
+        def fake_fn(x, mask):
+            return {"y": LazyResult(_time.monotonic() + T, x.shape[0])}
+
+        mb = MicroBatcher(
+            fake_fn, batch_size=1, input_shape=(2,), mask_dim=1,
+            max_wait_s=0.0, max_in_flight=2,
+        )
+        try:
+            t0 = _time.monotonic()
+            futs = [mb.submit(np.zeros((2,), np.float32)) for _ in range(4)]
+            for f in futs:
+                assert f.result(timeout=10)["y"].shape == (1,)
+            piped = _time.monotonic() - t0
+        finally:
+            mb.close()
+        # the old worker fetched each batch before collecting the next group
+        # => 4 batches cost >= 4T serially. Pipelined dispatch overlaps the
+        # sleeps: all four fit well inside 3T (typically ~1-2T).
+        assert piped < 3 * T, piped
+
     def test_rejects_bad_shape_and_closed(self):
         model, params, _ = _make_model()
         fn = jax.jit(lambda x, m: make_infer_fn(model)(params, x, m))
