@@ -15,7 +15,7 @@ from anytime3d_tpu.utils.profiling import enable_compilation_cache
 
 enable_compilation_cache("/tmp/anytime3d_jax_cache")
 
-from anytime3d_tpu.data.packing import pack_voxels
+from anytime3d_tpu.data.packing import pack_voxels_blocked
 from anytime3d_tpu.models import configs
 from anytime3d_tpu.models.mmvae import MultiModalVAE
 from anytime3d_tpu.train import create_train_state, make_train_step
@@ -30,7 +30,7 @@ vox = (rng.uniform(size=(B, 64, 64, 64, 1)) > 0.7).astype(np.float32)
 n_cat, n_inst = model_cfg.category_dim, model_cfg.inst_dim
 batch = {
     "input": jnp.asarray(images),
-    "target_packed": jnp.asarray(pack_voxels(vox)),
+    "target_packed_blocked": jnp.asarray(pack_voxels_blocked(vox)),
     "category_onehot": jnp.asarray(
         np.eye(n_cat, dtype=np.float32)[rng.integers(0, n_cat, B)]
     ),

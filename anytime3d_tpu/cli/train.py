@@ -67,10 +67,19 @@ def build_batch_fn(loader, model_cfg, batch_size=32, image_size=None, multi_scal
             inst, cls, _sin, _cos, images, voxels = b
         out = {"input": jnp.asarray(images)}
         if packed:
-            # image->shape: the 64^3 target still rides the 32x bit transfer
-            from anytime3d_tpu.data.packing import pack_voxels
+            # image->shape: the 64^3 target still rides the 32x bit transfer;
+            # blocked bit order when the decoder tail is blocked, so the loss
+            # runs in the coarse layout with zero device relayout
+            from anytime3d_tpu.data.packing import pack_voxels, pack_voxels_blocked
+            from anytime3d_tpu.models.mmvae import decoder_blocked_block
 
-            out["target_packed"] = jnp.asarray(pack_voxels(np.asarray(voxels)))
+            dblock = decoder_blocked_block(model_cfg)
+            if dblock is not None:
+                out["target_packed_blocked"] = jnp.asarray(
+                    pack_voxels_blocked(np.asarray(voxels), dblock)
+                )
+            else:
+                out["target_packed"] = jnp.asarray(pack_voxels(np.asarray(voxels)))
         else:
             out["target"] = jnp.asarray(voxels)
         if cls is not None and (model_cfg.prior_category is not None or model_cfg.category_dim):

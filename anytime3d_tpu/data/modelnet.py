@@ -75,6 +75,18 @@ class ModelNetLoader:
         }
 
 
+def _jitter_zoom(grid: np.ndarray, factors) -> np.ndarray:
+    """Anisotropic nearest-neighbour rescale about the grid center (the
+    per-sample jitter for structural instance shapes). ``factors`` ~1."""
+    d = grid.shape[0]
+    c = (d - 1) / 2.0
+    out_idx = [
+        np.clip(np.round((np.arange(d) - c) / f + c), 0, d - 1).astype(int)
+        for f in np.asarray(factors, np.float64)
+    ]
+    return grid[np.ix_(out_idx[0], out_idx[1], out_idx[2])]
+
+
 class SyntheticVoxelLoader:
     """Drop-in ModelNetLoader replacement producing procedural shapes for
     tests, benches and dataset-free quality runs. Deterministic under seed.
@@ -96,18 +108,27 @@ class SyntheticVoxelLoader:
         num_inst: int = 10,
         seed: int = 0,
         inst_spread: float = 0.15,
+        structural_inst: bool = False,
     ):
         """``inst_spread``: half-width of the per-instance canonical-extent
         multiplier range (0.15 -> U(0.85, 1.15)). Wider spreads make the
         instance identity recoverable from a single silhouette, mirroring
         how distinct CAD models differ structurally; the default preserves
-        the distribution of every committed r1/r2 quality run."""
+        the distribution of every committed r1/r2 quality run.
+
+        ``structural_inst=True`` replaces the analytic families with the
+        procedural part-based CAD stand-ins (data/instances.py, voxelized
+        through data/voxelize.py): instances of a class then differ in
+        STRUCTURE (leg count, shade type, wing sweep, ...) like real CAD
+        sets (nolbo.py:166-181), not just scale — the r3-measured
+        scale-only ceiling on instance accuracy does not apply."""
         self.epoch = 0
         self.batchStart = 0
         self.dataLength = num_samples
         self._dim = dim
         self._num_classes = num_classes
         self._num_inst = num_inst
+        self._structural = structural_inst
         rng = np.random.default_rng(seed)
         self._labels = rng.integers(0, num_classes, num_samples)
         self._insts = rng.integers(0, num_inst, num_samples)
@@ -134,8 +155,20 @@ class SyntheticVoxelLoader:
 
     def _generate(self, i: int) -> np.ndarray:
         """Occupancy for sample i: family = class % 8, rotated by the
-        sample's yaw quarter-turn."""
+        sample's yaw quarter-turn. In ``structural_inst`` mode the base
+        shape is the (class, instance) part-based CAD stand-in
+        (data/instances.py) with per-sample anisotropic scale jitter —
+        instance identity is then structural, like real CAD sets."""
         label = int(self._labels[i])
+        if self._structural:
+            from anytime3d_tpu.data.instances import instance_grid
+
+            base = instance_grid(label, int(self._insts[i]), self._dim)
+            occ = _jitter_zoom(base, self._params[i] / self._params[i].mean())
+            k = int(self._rots[i])
+            if k:
+                occ = np.rot90(occ, k=k, axes=(0, 2)).copy()
+            return occ.astype(np.float32)
         a, b, c = self._params[i]
         g = self._grid
         x, y, z = g[..., 0], g[..., 1], g[..., 2]
@@ -211,14 +244,29 @@ class SyntheticImageObjectLoader(SyntheticVoxelLoader):
         self._render_cache: Dict = {}
 
     def _render(self, vox: np.ndarray, azimuth: float, image_size) -> np.ndarray:
-        """Rotate about the vertical axis (nearest-neighbour) then project."""
+        """Rotate about the vertical axis (nearest-neighbour) then project.
+
+        Shading (default on, ``self.render_shaded``): voxel brightness rises
+        along the object's CANONICAL +x axis (0.35 -> 1.0), so the projected
+        image reveals which way the object faces. A bare silhouette of these
+        (mirror-symmetric) shapes determines azimuth only mod pi — the
+        analytic floor of that ambiguity under the detector eval is
+        (0.5*pi)/3 ~ 0.52 rad, exactly the flat ori-MAE plateau measured in
+        r3 (VERDICT missing #3/weak table; detector_*.json) — so without a
+        shading cue the orientation head CANNOT beat ~0.5 rad on this
+        curriculum, regardless of architecture or loss."""
         d = vox.shape[0]
         c, s = np.cos(azimuth), np.sin(azimuth)
         idx = np.arange(d) - d / 2 + 0.5
         gx, gz = np.meshgrid(idx, idx, indexing="ij")
         sx = np.clip(np.round(c * gx - s * gz + d / 2 - 0.5), 0, d - 1).astype(int)
         sz = np.clip(np.round(s * gx + c * gz + d / 2 - 0.5), 0, d - 1).astype(int)
-        rot = vox[sx, :, sz]  # (d, d[y], d) rotated about y
+        # advanced indexing with a slice between the index arrays puts the
+        # broadcast (x_out, z_out) dims first: rot is (x_out, z_out, y)
+        rot = vox[sx, :, sz]
+        if getattr(self, "render_shaded", True):
+            w = (0.35 + 0.65 * sx / max(d - 1, 1)).astype(np.float32)
+            rot = rot * w[:, :, None]
         img = rot.max(axis=2).T.astype(np.float32)  # (rows=y, cols=x)
         out_c, out_r = image_size
         ys = (np.arange(out_r) * d // out_r).astype(int)

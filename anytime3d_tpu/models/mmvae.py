@@ -95,24 +95,33 @@ jax.tree_util.register_dataclass(
 )
 
 
-def blocked_io_block(cfg: MMVAEConfig) -> Optional[int]:
-    """Block size (4) when the voxel round-trip of ``cfg`` can stay in the
-    coarse s2d/d2s layout end-to-end, else None (see
-    MultiModalVAE.blocked_io_block)."""
-    from anytime3d_tpu.nn.autoencoder3d import (
-        decoder_tail_blocked_active,
-        encoder_head_blocked_active,
-    )
+def decoder_blocked_block(cfg: MMVAEConfig) -> Optional[int]:
+    """Block size (4) when the DECODER alone can emit the coarse d2s layout
+    (blocked tail), regardless of encoder modality. Image->shape training
+    uses this to run the voxel loss in the blocked layout: the decoder's
+    final d2s relayout AND the fine-grid 1-channel elementwise loss (whose
+    C=1 lane-pads 128x on TPU) are both skipped — the loss/P-R are sums of
+    elementwise terms, so the layout permutation changes no metric."""
+    from anytime3d_tpu.nn.autoencoder3d import decoder_tail_blocked_active
 
-    if cfg.encoder != "voxel" or cfg.encoder3d is None:
-        return None
-    if not encoder_head_blocked_active(cfg.encoder3d):
-        return None
     if not decoder_tail_blocked_active(cfg.decoder):
         return None
     if any(s % 4 for s in cfg.decoder.output_shape[:-1]):
         return None
     return 4
+
+
+def blocked_io_block(cfg: MMVAEConfig) -> Optional[int]:
+    """Block size (4) when the voxel round-trip of ``cfg`` can stay in the
+    coarse s2d/d2s layout end-to-end, else None (see
+    MultiModalVAE.blocked_io_block)."""
+    from anytime3d_tpu.nn.autoencoder3d import encoder_head_blocked_active
+
+    if cfg.encoder != "voxel" or cfg.encoder3d is None:
+        return None
+    if not encoder_head_blocked_active(cfg.encoder3d):
+        return None
+    return decoder_blocked_block(cfg)
 
 
 class MultiModalVAE(nn.Module):
@@ -155,6 +164,13 @@ class MultiModalVAE(nn.Module):
         decoder on the same grid), else None. Used by the train step to skip
         every fine-grid relayout — see train/step.py."""
         return blocked_io_block(self.config)
+
+    @property
+    def decoder_block(self) -> Optional[int]:
+        """Block size (4) when the decoder alone can emit the coarse d2s
+        layout — lets image->shape steps run the voxel loss blocked even
+        though the encoder consumes images (see decoder_blocked_block)."""
+        return decoder_blocked_block(self.config)
 
     def encode(self, x, blocked_input: bool = False) -> EncoderOutput:
         """Image or voxel input -> posterior blocks.

@@ -33,6 +33,7 @@ class DetectorLossConfig:
     lambda_noobj: float = 0.5
     lambda_bbox: float = 5.0
     lambda_ori: float = 1.0
+    lambda_bbox3d: float = 1.0
     lambda_shape: float = 1.0
     lambda_kl: float = 0.1
     gamma: float = 0.6
@@ -103,12 +104,19 @@ def detector_losses(
     loss_ori = cfg.lambda_ori * jnp.sum(mask * nll) / n_obj
     metrics["loss_ori"] = loss_ori
 
-    # ---- 3D box size regression when provided
+    # ---- 3D box size regression when provided — LOG space: size error is
+    # relative (a 4 m car mis-sized 10% should cost what a 1 m box mis-sized
+    # 10% costs), and the O(1) log-errors keep the shared-trunk gradients
+    # balanced. The linear-space form was ~50x the detection terms at init
+    # (targets ~4 m, relu head starts near 0) — the same shared-backbone
+    # gradient-imbalance family diagnosed for the shape loss in r3 (commit
+    # 9d04978), and the measured 0.08 mAP cost of the with-3D operating
+    # point (docs/results/detector_4k_with3d.json, r3 verdict weak #5).
     if "bbox3d" in batch:
-        se3 = jnp.sum(
-            jnp.square(fields["bbox3d"].astype(jnp.float32) - batch["bbox3d"]), axis=-1
-        )
-        loss_b3 = jnp.sum(mask * se3) / n_obj
+        pred3 = jnp.log(jnp.clip(fields["bbox3d"].astype(jnp.float32), 1e-3, None))
+        tgt3 = jnp.log(jnp.clip(batch["bbox3d"], 1e-3, None))
+        se3 = jnp.sum(jnp.square(pred3 - tgt3), axis=-1)
+        loss_b3 = cfg.lambda_bbox3d * jnp.sum(mask * se3) / n_obj
         metrics["loss_bbox3d"] = loss_b3
     else:
         loss_b3 = 0.0

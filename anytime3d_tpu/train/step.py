@@ -65,13 +65,20 @@ class LossConfig:
     mix_element_prob: float = 0.5
 
 
-def _encode_and_sample(model, cfg, params, batch, key, deterministic, blocked=False):
+def _encode_and_sample(
+    model, cfg, params, batch, key, deterministic, blocked=False, blocked_out=None
+):
     """Shared forward: priors -> posterior -> z draw -> decoder input.
 
     ``blocked=True``: batch["input"] is in the s2d(4) coarse layout and the
     decoder emits the matching d2s(4)-pending layout — the fine 64^3x1 grid
     (lane-padded 128x on TPU) is never materialized in the step.
+    ``blocked_out`` (default: follow ``blocked``) controls the decoder side
+    alone: image->shape steps keep a dense image input but still decode into
+    the blocked layout when the loss target is blocked (materialize_batch).
     """
+    if blocked_out is None:
+        blocked_out = blocked
     mcfg = model.config
     # independent keys for the posterior draws and the prior-mix draws — the
     # reference samples each with its own epsilon (nolbo.py:110-116); sharing
@@ -166,7 +173,7 @@ def _encode_and_sample(model, cfg, params, batch, key, deterministic, blocked=Fa
     out["pred"] = model.apply(
         {"params": params},
         z,
-        blocked_output=blocked,
+        blocked_output=blocked_out,
         method=MultiModalVAE.decode,
         rngs=rngs,
     )
@@ -174,7 +181,8 @@ def _encode_and_sample(model, cfg, params, batch, key, deterministic, blocked=Fa
 
 
 def materialize_batch(model, batch):
-    """Unpack/relayout a voxel batch inside jit; returns ``(batch, blocked)``.
+    """Unpack/relayout a voxel batch inside jit; returns
+    ``(batch, blocked_in, blocked_out)``.
 
     The static grid shape comes from the model's decoder config; ``target``
     defaults to the same grid (voxel->voxel variants ship ONE packed copy for
@@ -182,9 +190,16 @@ def materialize_batch(model, batch):
     blocked-tail decoder), input/target are produced in the s2d(4) coarse
     layout: ``input_packed_blocked`` batches (bits pre-ordered on the host,
     data/packing.py::pack_voxels_blocked) unpack straight into it with zero
-    relayout; dense or linearly-packed batches pay one s2d relayout. The
-    shape/focal losses and TP/FP/FN are sums of elementwise terms, so the
-    layout permutation leaves every metric unchanged."""
+    relayout; dense or linearly-packed batches pay one s2d relayout.
+
+    ``blocked_out`` is decoder-side only: any model with a blocked-tail
+    decoder (including IMAGE->shape, whose encoder consumes dense images)
+    gets its voxel target in the blocked layout so the decoder skips the
+    final d2s relayout and the loss never touches the lane-padded fine
+    64^3x1 grid. ``target_packed_blocked`` (pack_voxels_blocked on host)
+    unpacks straight into it; linearly-packed / dense targets pay one s2d.
+    The shape/focal losses and TP/FP/FN are sums of elementwise terms, so
+    the layout permutation leaves every metric unchanged."""
     from anytime3d_tpu.data.packing import unpack_voxels, unpack_voxels_blocked
     from anytime3d_tpu.nn.autoencoder3d import space_to_depth3d
 
@@ -195,49 +210,64 @@ def materialize_batch(model, batch):
         # pascal3D.py:268)
         batch = dict(batch, input=batch["input"].astype(jnp.float32) / 255.0)
     block = getattr(model, "blocked_io_block", None)
+    dec_block = getattr(model, "decoder_block", None)
     grid = model.config.decoder.output_shape
-    if "target_packed" in batch:
-        # explicit packed target (image->shape loaders: input is the image,
-        # the 64^3 voxel target still rides the 32x-smaller bit transfer)
+
+    # ---- explicit voxel target (image->shape loaders: input is the image,
+    # the 64^3 voxel target still rides the 32x-smaller bit transfer)
+    tgt = batch.get("target")
+    tgt_blocked = False
+    if "target_packed_blocked" in batch:
+        if dec_block is None:
+            raise ValueError(
+                "target_packed_blocked requires a blocked-tail decoder"
+            )
+        tgt = unpack_voxels_blocked(batch["target_packed_blocked"], grid, dec_block)
+        tgt_blocked = True
+    elif "target_packed" in batch:
         tgt = unpack_voxels(batch["target_packed"], grid)
-        batch = {k: v for k, v in batch.items() if k != "target_packed"}
-        batch = dict(batch, target=tgt)
-    if "input_packed_blocked" in batch:
+    out = {
+        k: v
+        for k, v in batch.items()
+        if k not in ("target", "target_packed", "target_packed_blocked")
+    }
+
+    # ---- voxel input paths
+    blocked_in = False
+    if "input_packed_blocked" in out:
         if block is None:
             raise ValueError(
                 "input_packed_blocked requires a blocked-IO model "
                 "(blocked-head encoder + blocked-tail decoder)"
             )
-        vox = unpack_voxels_blocked(batch["input_packed_blocked"], grid, block)
-        out = {k: v for k, v in batch.items() if k != "input_packed_blocked"}
+        vox = unpack_voxels_blocked(out.pop("input_packed_blocked"), grid, block)
         out["input"] = vox
-        if "target" in out:  # explicit target joins the blocked layout
-            out["target"] = space_to_depth3d(out["target"], block)
-        else:
-            out["target"] = vox
-        return out, True
-    if "input_packed" in batch:
-        vox = unpack_voxels(batch["input_packed"], grid)
+        blocked_in = True
+        if tgt is None:
+            tgt, tgt_blocked = vox, True
+    elif "input_packed" in out:
+        vox = unpack_voxels(out.pop("input_packed"), grid)
         if block is not None:
             vox = space_to_depth3d(vox, block)
-        out = {k: v for k, v in batch.items() if k != "input_packed"}
         out["input"] = vox
-        if "target" in out:
-            if block is not None:
-                out["target"] = space_to_depth3d(out["target"], block)
-        else:
-            out["target"] = vox
-        return out, block is not None
-    if block is not None:
-        out = dict(batch)
-        out["input"] = space_to_depth3d(batch["input"], block)
-        tgt = batch.get("target")
-        if tgt is None or tgt is batch["input"]:
-            out["target"] = out["input"]
-        else:
-            out["target"] = space_to_depth3d(tgt, block)
-        return out, True
-    return batch, False
+        blocked_in = block is not None
+        if tgt is None:
+            tgt, tgt_blocked = vox, blocked_in
+    elif block is not None:
+        shared = tgt is None or tgt is batch.get("input")
+        out["input"] = space_to_depth3d(out["input"], block)
+        blocked_in = True
+        if shared:
+            tgt, tgt_blocked = out["input"], True
+
+    # ---- decoder-side layout: blocked whenever the tail supports it and a
+    # voxel target exists (covers image->shape, where blocked_in stays False)
+    blocked_out = dec_block is not None and tgt is not None
+    if tgt is not None:
+        if blocked_out and not tgt_blocked:
+            tgt = space_to_depth3d(tgt, dec_block)
+        out["target"] = tgt
+    return out, blocked_in, blocked_out
 
 
 def compute_losses(
@@ -254,9 +284,10 @@ def compute_losses(
     data/packing.py) — 32x less host->device traffic; unpacked here inside
     jit where XLA fuses the shift-and-mask into the consumer."""
     mcfg = model.config
-    batch, blocked = materialize_batch(model, batch)
+    batch, blocked_in, blocked_out = materialize_batch(model, batch)
     fwd = _encode_and_sample(
-        model, cfg, params, batch, key, deterministic, blocked=blocked
+        model, cfg, params, batch, key, deterministic,
+        blocked=blocked_in, blocked_out=blocked_out,
     )
     enc, pred = fwd["enc"], fwd["pred"]
     # losses always in fp32: the voxel BCE sums ~262k log terms per sample,
@@ -314,9 +345,13 @@ def compute_losses(
         metrics["loss_reg"] = reg
         total = total + cfg.reg_weight * reg
 
-    # ---- kernel L2 (keras l2(5e-4) analogue)
-    l2 = l2_penalty(params, cfg.l2_weight)
-    total = total + l2
+    # ---- kernel L2 (keras l2(5e-4) analogue). Skipped entirely at weight 0:
+    # XLA cannot DCE `0.0 * sum(w^2)` (inf/NaN semantics), so the zero-weight
+    # variants (modelnet family, ae3d) would otherwise pay a full ~200-leaf
+    # parameter reduction every step — measured 1.9 ms on the 31M-param
+    # image model (_profile_image.py, r4).
+    if cfg.l2_weight:
+        total = total + l2_penalty(params, cfg.l2_weight)
 
     # ---- voxel precision / recall (nolbo.py:155-158)
     tp, fp, fn = voxel_tp_fp_fn(target, pred)

@@ -65,7 +65,7 @@ def bench_image():
     from anytime3d_tpu.models import configs
     from anytime3d_tpu.models.mmvae import MultiModalVAE
     from anytime3d_tpu.train import create_train_state, make_train_step
-    from anytime3d_tpu.data.packing import pack_voxels
+    from anytime3d_tpu.data.packing import pack_voxels_blocked
 
     batch_size = 32
     model_cfg, loss_cfg = configs.variant("pascal_nolbo")
@@ -77,7 +77,9 @@ def bench_image():
     n_cat, n_inst = model_cfg.category_dim, model_cfg.inst_dim
     batch = {
         "input": jnp.asarray(images),
-        "target_packed": jnp.asarray(pack_voxels(vox)),
+        # blocked bit order (production path, cli/train.py): the loss runs
+        # in the coarse d2s layout — no fine-grid relayout or 1-ch loss
+        "target_packed_blocked": jnp.asarray(pack_voxels_blocked(vox)),
         "category_onehot": jnp.asarray(
             np.eye(n_cat, dtype=np.float32)[rng.integers(0, n_cat, batch_size)]
         ),

@@ -78,7 +78,11 @@ def main(argv=None):
 
     from anytime3d_tpu.anytime import anytime_eval_jit
     from anytime3d_tpu.data.modelnet import SyntheticImageObjectLoader
-    from anytime3d_tpu.data.packing import pack_voxels, unpack_voxels
+    from anytime3d_tpu.data.packing import (
+        pack_voxels,
+        pack_voxels_blocked,
+        unpack_voxels,
+    )
     from anytime3d_tpu.evaluation import evaluate_epoch, missing_rate_sweep, pr_curve
     from anytime3d_tpu.models import configs
     from anytime3d_tpu.models.mmvae import MultiModalVAE
@@ -129,7 +133,7 @@ def main(argv=None):
         # (train/step.py::materialize_batch)
         batch = {
             "input": jnp.asarray((images * 255).astype(np.uint8)),
-            "target_packed": jnp.asarray(pack_voxels(vox)),
+            "target_packed_blocked": jnp.asarray(pack_voxels_blocked(vox)),
         }
         batch.update(label_keys(inst, cls))
         return batch

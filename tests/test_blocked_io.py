@@ -237,3 +237,71 @@ class TestTargetPacked:
             np.testing.assert_allclose(
                 float(m_dense[k]), float(m_packed[k]), rtol=1e-5, err_msg=k
             )
+
+
+class TestImageBlockedTarget:
+    """Image->shape with a blocked-tail decoder: the voxel loss runs in the
+    coarse d2s layout (r4, the image-family bench fix) — every transfer form
+    of the target must give the identical metrics."""
+
+    def _setup(self, tail_blocked=True):
+        from anytime3d_tpu.nn.heads import Head2DConfig
+
+        z = 8
+        cfg = MMVAEConfig(
+            z_category_dim=0,
+            z_inst_dim=z,
+            encoder="image",
+            backbone="darknet19",
+            head=Head2DConfig(output_dim=2 * z, filter_nums=(), filter_sizes=(),
+                              last_pooling="max"),
+            decoder=Decoder3DConfig(
+                input_dim=z,
+                output_shape=(16, 16, 16, 1),
+                filter_nums=(16, 8, 1),
+                filter_sizes=(4, 4, 4),
+                strides=(1, 2, 2),
+                final_mode="pixel_shuffle",
+                tail_blocked=tail_blocked,
+            ),
+            variational=True,
+        )
+        model = MultiModalVAE(cfg)
+        rng = np.random.default_rng(7)
+        images = rng.uniform(size=(4, 32, 32, 3)).astype(np.float32)
+        tgt = (rng.uniform(size=(4, 16, 16, 16, 1)) > 0.6).astype(np.float32)
+        state = create_train_state(model, jnp.asarray(images), jax.random.PRNGKey(0))
+        return model, state.params, images, tgt
+
+    def test_all_target_forms_identical(self):
+        model, params, images, tgt = self._setup()
+        assert model.decoder_block == 4 and model.blocked_io_block is None
+        key = jax.random.PRNGKey(5)
+        forms = {
+            "dense": {"target": jnp.asarray(tgt)},
+            "packed": {"target_packed": jnp.asarray(pack_voxels(tgt))},
+            "packed_blocked": {
+                "target_packed_blocked": jnp.asarray(pack_voxels_blocked(tgt))
+            },
+        }
+        metrics = {}
+        for name, t in forms.items():
+            batch = {"input": jnp.asarray(images), **t}
+            _, metrics[name] = compute_losses(
+                model, LossConfig(), params, batch, key, True
+            )
+        for name in ("packed", "packed_blocked"):
+            for k in metrics["dense"]:
+                np.testing.assert_allclose(
+                    float(metrics["dense"][k]), float(metrics[name][k]),
+                    rtol=1e-5, err_msg=f"{name}:{k}",
+                )
+
+    def test_packed_blocked_target_rejected_for_classic_decoder(self):
+        model, params, images, tgt = self._setup(tail_blocked=False)
+        batch = {
+            "input": jnp.asarray(images),
+            "target_packed_blocked": jnp.asarray(pack_voxels_blocked(tgt)),
+        }
+        with pytest.raises(ValueError):
+            compute_losses(model, LossConfig(), params, batch, jax.random.PRNGKey(0), True)
