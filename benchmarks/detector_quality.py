@@ -50,6 +50,10 @@ def main(argv=None):
                    help="train-time photometric jitter (brightness/contrast/"
                         "blur/invert/hue-sat, data/augment.py::photometric_augment"
                         " — the reference imgAug pipeline analogue)")
+    p.add_argument("--no-bbox3d", action="store_true",
+                   help="drop the metric (w,h,l) supervision — the detection-"
+                        "only operating point (A/B control for the with-3D "
+                        "shared-trunk cost, r3 verdict weak #5)")
     p.add_argument("--save-path", default=None, help="orbax checkpoint dir")
     p.add_argument("--out", required=True)
     p.add_argument("--artifact", default=None, help="scene overlay PNG path")
@@ -123,6 +127,8 @@ def main(argv=None):
             b = collate_multiobject(
                 images, targets, voxel_lists, max_slots=args.max_slots
             )
+            if args.no_bbox3d:
+                b.pop("bbox3d", None)
             if packed:
                 # tunnel-friendly TRAIN transfer: uint8 images + bit-packed
                 # voxels (raw float batches are 10 MB/step; dispatch outruns

@@ -52,7 +52,10 @@ def main(argv=None):
     p.add_argument("--multi-scale", default="64,96",
                    help="comma list of square train sizes (reference "
                         "multi-scale schedule, train_pascal.py:121-124); "
-                        "one size disables the schedule")
+                        "one size disables the schedule. A 'size:batch' "
+                        "entry overrides the batch for that bucket — the "
+                        "reference shrinks batch as resolution grows "
+                        "(train_pascal.py:50-67), e.g. '224:16,320:8,448:4'")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", required=True)
@@ -62,6 +65,10 @@ def main(argv=None):
                    help="per-instance extent spread of the synthetic loader; "
                         "0.4 makes instance identity recoverable from one "
                         "silhouette (distinct CADs differ structurally)")
+    p.add_argument("--structural-inst", action="store_true",
+                   help="part-based procedural CAD instance curriculum "
+                        "(data/instances.py) — instance identity is shape, "
+                        "not scale (r4; r3 measured the scale-only ceiling)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -102,14 +109,20 @@ def main(argv=None):
     train_ld = SyntheticImageObjectLoader(
         num_samples=args.train_samples, dim=dim, num_classes=n_cls,
         num_inst=n_inst, seed=0, inst_spread=args.inst_spread,
+        structural_inst=args.structural_inst,
     )
     eval_ld = SyntheticImageObjectLoader(
         num_samples=args.eval_samples, dim=dim, num_classes=n_cls,
         num_inst=n_inst, seed=1, inst_spread=args.inst_spread,
+        structural_inst=args.structural_inst,
     )
 
-    sizes = [int(s) for s in args.multi_scale.split(",")]
-    schedule = [(s, s, args.batch_size) for s in sizes]
+    sizes, schedule = [], []
+    for entry in args.multi_scale.split(","):
+        s, _, b = entry.partition(":")
+        s, b = int(s), int(b) if b else args.batch_size
+        sizes.append(s)
+        schedule.append((s, s, b))
 
     def label_keys(inst, cls):
         out = {}
@@ -228,6 +241,49 @@ def main(argv=None):
     curve_c = pr_curve(target, jnp.asarray(np.concatenate(preds_c)),
                        thresholds=thresholds, acceptance_div=10)
 
+    # ---- per-bucket pace probe (r4, VERDICT missing #4: reference-scale
+    # multi-scale training): device-resident step time vs transfer-inclusive
+    # end-to-end time per compiled bucket. The TRAIN loop's overall
+    # ms/step (train_seconds/steps) shows what the background prefetcher
+    # hides of the e2e-vs-device gap. Runs LAST: steps donate final_state.
+    from anytime3d_tpu.train import make_train_step as _mts
+
+    probe_step = _mts(model, loss_cfg, donate=True)  # same jit as the trainer
+    pace = {}
+    s2, key = final_state, jax.random.PRNGKey(99)
+
+    def bucket_batch(rows, bs):
+        inst, cls, _s, _c2, images, vox = train_ld.getNextBatch(
+            bs, imageSize=(rows, rows)
+        )
+        b = {
+            "input": jnp.asarray((images * 255).astype(np.uint8)),
+            "target_packed_blocked": jnp.asarray(pack_voxels_blocked(vox)),
+        }
+        b.update(label_keys(inst, cls))
+        return b
+
+    for rows, _c, bs in schedule:
+        bt = bucket_batch(rows, bs)
+        for _ in range(3):
+            s2, m = probe_step(s2, bt, key)
+        float(m["loss_total"])
+        t0p, iters = time.time(), 10
+        for _ in range(iters):
+            s2, m = probe_step(s2, bt, key)
+        float(m["loss_total"])
+        dev_ms = (time.time() - t0p) / iters * 1e3
+        t0p, e2e_iters = time.time(), 5
+        for _ in range(e2e_iters):
+            s2, m = probe_step(s2, bucket_batch(rows, bs), key)
+            float(m["loss_total"])
+        e2e_ms = (time.time() - t0p) / e2e_iters * 1e3
+        pace[f"{rows}x{rows}xB{bs}"] = {
+            "device_ms_per_step": round(dev_ms, 2),
+            "e2e_unprefetched_ms_per_step": round(e2e_ms, 2),
+        }
+    print("bucket pace:", pace)
+
     result = {
         "config": args.config,
         "family": "image->shape",
@@ -238,9 +294,12 @@ def main(argv=None):
         "dim": dim,
         "dtype": "float32" if args.fp32 else "bfloat16",
         "train_seconds": round(train_s, 1),
+        "train_ms_per_step": round(train_s / max(args.steps, 1) * 1e3, 2),
+        "bucket_pace": pace,
         "train_samples": args.train_samples,
         "eval_samples": args.eval_samples,
         "inst_spread": args.inst_spread,
+        "structural_inst": args.structural_inst,
         "correction_mode": correction,
         "final_train": final_train,
         "eval_full": {k: round(float(v), 5) for k, v in eval_full.items()},

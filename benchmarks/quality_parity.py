@@ -43,6 +43,32 @@ def classic_layout(model_cfg):
     return dataclasses.replace(model_cfg, encoder3d=enc, decoder=dec)
 
 
+def apply_layout(model_cfg, layout: str):
+    """Layout A/B axis incl. the half-and-half diagnostics (r4, VERDICT weak
+    #3: which half of the blocked layout costs category accuracy?):
+
+    - ``blocked``: the flagship default (blocked head AND tail);
+    - ``classic``: the reference layout end-to-end;
+    - ``enc_blocked``: blocked encoder head, CLASSIC decoder;
+    - ``dec_blocked``: classic encoder, blocked decoder tail.
+    """
+    if layout == "blocked":
+        return model_cfg
+    if layout == "classic":
+        return classic_layout(model_cfg)
+    if layout == "enc_blocked":
+        dec = dataclasses.replace(
+            model_cfg.decoder, final_mode="transpose", tail_blocked=False
+        )
+        return dataclasses.replace(model_cfg, decoder=dec)
+    if layout == "dec_blocked":
+        enc = dataclasses.replace(
+            model_cfg.encoder3d, stem_space_to_depth=1, head_blocked=False
+        )
+        return dataclasses.replace(model_cfg, encoder3d=enc)
+    raise SystemExit(f"unknown layout {layout!r}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True,
@@ -55,6 +81,13 @@ def main(argv=None):
     p.add_argument("--dim", type=int, default=64)
     p.add_argument("--classic", action="store_true",
                    help="classic reference layout instead of the blocked TPU layout")
+    p.add_argument("--layout", default=None,
+                   choices=["blocked", "classic", "enc_blocked", "dec_blocked"],
+                   help="layout A/B axis incl. half-and-half diagnostics "
+                        "(overrides --classic)")
+    p.add_argument("--structural-inst", action="store_true",
+                   help="procedural part-based CAD instance curriculum "
+                        "(data/instances.py) instead of the analytic families")
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon platform pin is "
@@ -90,17 +123,19 @@ def main(argv=None):
     from anytime3d_tpu.train.trainer import Trainer, TrainerConfig
 
     model_cfg, loss_cfg = configs.variant(args.config)
-    if args.classic:
-        model_cfg = classic_layout(model_cfg)
+    layout = args.layout or ("classic" if args.classic else "blocked")
+    model_cfg = apply_layout(model_cfg, layout)
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     model = MultiModalVAE(model_cfg, dtype=dtype)
     n_cls = model_cfg.category_dim or 40
 
     train_ld = SyntheticVoxelLoader(
-        num_samples=args.train_samples, dim=args.dim, num_classes=n_cls, seed=0
+        num_samples=args.train_samples, dim=args.dim, num_classes=n_cls, seed=0,
+        structural_inst=args.structural_inst,
     )
     eval_ld = SyntheticVoxelLoader(
-        num_samples=args.eval_samples, dim=args.dim, num_classes=n_cls, seed=1
+        num_samples=args.eval_samples, dim=args.dim, num_classes=n_cls, seed=1,
+        structural_inst=args.structural_inst,
     )
 
     def to_batch(b):
@@ -209,7 +244,8 @@ def main(argv=None):
 
     result = {
         "config": args.config,
-        "layout": "classic" if args.classic else "blocked",
+        "layout": layout,
+        "structural_inst": args.structural_inst,
         "steps": args.steps,
         "batch_size": args.batch_size,
         "dim": args.dim,
