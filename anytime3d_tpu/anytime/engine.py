@@ -56,15 +56,31 @@ def correct_latent(
     prior_means: jnp.ndarray,
     prior_log_vars: Optional[jnp.ndarray] = None,
     mode: str = "resample",
+    gate_margin: float = 0.2,
 ) -> jnp.ndarray:
     """Replace missing dims with the nearest class prior (nolbo.py:239-243).
 
     mode='resample': draw masked dims from N(mu_k*, exp(lv)) with lv=0 as the
     reference does; mode='mean': snap to mu_k* outright (the instOnly variant,
-    nolbo.py:460-474)."""
-    nearest = classify_by_prior(z, prior_means, mask=mask)  # (B,)
+    nolbo.py:460-474).
+
+    A ``_gated`` suffix ('resample_gated'/'mean_gated') corrects ONLY samples
+    whose nearest-prior decision is confident: relative margin between the
+    two nearest priors over OBSERVED dims > ``gate_margin``; everyone else
+    keeps the uncorrected z. This is NEW vs the reference (which corrects
+    unconditionally): measured on the image family, unconditional correction
+    injects wrong-class prior samples exactly when classification fails —
+    corrected shape loss tracks classification error, degrading below the
+    uncorrected decode at high missing rates
+    (docs/results/pascal_nolbo_structural_16k.json sweep, r4)."""
+    gated = mode.endswith("_gated")
+    base = mode[: -len("_gated")] if gated else mode
+    d2 = jnp.square(z[:, None, :] - prior_means[None, :, :])  # (B, K, D)
+    d2 = d2 * mask[:, None, :]
+    dist = jnp.sum(d2, axis=-1)  # (B, K)
+    nearest = jnp.argmin(dist, axis=-1)  # (B,)
     mu = prior_means[nearest]  # (B, D)
-    if mode == "resample":
+    if base == "resample":
         lv = (
             prior_log_vars[nearest]
             if prior_log_vars is not None
@@ -73,7 +89,13 @@ def correct_latent(
         fill = reparameterize(key, mu, lv)
     else:
         fill = mu
-    return jnp.where(mask > 0, z, fill)
+    corrected = jnp.where(mask > 0, z, fill)
+    if not gated:
+        return corrected
+    top2 = -jax.lax.top_k(-dist, 2)[0]  # (B, 2) two smallest distances
+    margin = (top2[:, 1] - top2[:, 0]) / (top2[:, 1] + 1e-9)
+    confident = margin > gate_margin
+    return jnp.where(confident[:, None], corrected, z)
 
 
 # --------------------------------------------------------------------------

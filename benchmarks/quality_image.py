@@ -69,6 +69,10 @@ def main(argv=None):
                    help="part-based procedural CAD instance curriculum "
                         "(data/instances.py) — instance identity is shape, "
                         "not scale (r4; r3 measured the scale-only ceiling)")
+    p.add_argument("--correction", default=None,
+                   help="override the correction mode (resample | mean | "
+                        "resample_gated | mean_gated); _gated corrects only "
+                        "confident nearest-prior decisions (anytime/engine.py)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -199,13 +203,15 @@ def main(argv=None):
     # ---- prior anchors. kitti_inst_only has no category priornet: anchors
     # are the instance-prior means over the 10 CAD one-hots (nolbo.py:443-455)
     prior_means = None
-    correction = "resample"
+    correction = args.correction or "resample"
     if kitti:
         eye = jnp.eye(model_cfg.prior_inst.input_dim, dtype=jnp.float32)
         prior_means, _ = model.apply(
             {"params": params}, eye, method=MultiModalVAE.priors_inst
         )
-        correction = "mean"  # instOnly snaps to the prior mean (nolbo.py:460-474)
+        # instOnly snaps to the prior mean (nolbo.py:460-474); an explicit
+        # --correction (e.g. mean_gated) still overrides
+        correction = args.correction or "mean"
 
     # ---- full-observation eval + the anytime degradation sweep (timed)
     t_eval = time.time()

@@ -66,6 +66,12 @@ def apply_layout(model_cfg, layout: str):
             model_cfg.encoder3d, stem_space_to_depth=1, head_blocked=False
         )
         return dataclasses.replace(model_cfg, encoder3d=enc)
+    if layout == "ps_final":
+        # blocked head + pixel-shuffle FINAL only (no blocked penultimate
+        # stage): the r4 A/B isolated the accuracy cost to the blocked tail;
+        # this point locates it within the tail (last stage vs penultimate)
+        dec = dataclasses.replace(model_cfg.decoder, tail_blocked=False)
+        return dataclasses.replace(model_cfg, decoder=dec)
     raise SystemExit(f"unknown layout {layout!r}")
 
 

@@ -44,6 +44,23 @@ class TestClassifyCorrect:
         assert z_c[0, 0] == np.float32(10.1)
         assert z_c[0, 1] == 10.0 and z_c[0, 2] == -5.0
 
+    def test_correct_latent_gated_skips_unconfident(self):
+        """_gated modes correct only samples whose two nearest priors are
+        well separated over the OBSERVED dims (r4: unconditional correction
+        poisons reconstruction when classification is unreliable)."""
+        priors = jnp.array([[0.0, 0.0, 5.0], [10.0, 10.0, -5.0]])
+        # sample 0: observed dim clearly class 1 (margin large) -> corrected
+        # sample 1: observed dim equidistant (margin ~0) -> untouched
+        z = jnp.array([[10.1, -1.0, 0.0], [5.0, -1.0, 0.0]])
+        mask = jnp.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+        z_c = np.asarray(
+            correct_latent(
+                jax.random.PRNGKey(0), z, mask, priors, mode="mean_gated"
+            )
+        )
+        assert z_c[0, 1] == 10.0 and z_c[0, 2] == -5.0  # confident: corrected
+        np.testing.assert_array_equal(z_c[1], np.asarray(z[1]))  # kept
+
     def test_correct_latent_resample_near_prior(self):
         priors = jnp.array([[0.0] * 8, [10.0] * 8])
         z = jnp.full((1, 8), 9.5)
