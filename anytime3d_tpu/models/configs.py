@@ -61,7 +61,15 @@ def modelnet_nolbo(
     """NOLBO with class prior — nolboSingleObject_modelnet_category_only
     (nolbo.py:1594-1787; config train_modelnet_category.py:107-139).
     ``latent_dropout=True`` is the train_modelnet_category_dr.py variant
-    (dropout flag on fit, nolbo.py:1619,1646-1648)."""
+    (dropout flag on fit, nolbo.py:1619,1646-1648).
+
+    Layout note (r4 A/B, RESULTS.md): this THROUGHPUT default (blocked
+    head+tail, 14.3 ms/step) costs ~5 pts of nearest-prior category
+    accuracy vs the classic decoder at matched budget — the cost is
+    entirely the blocked/pixel-shuffle decoder TAIL (the blocked encoder
+    head is free, measured acc 0.758 vs classic 0.744). Reconstruction
+    P/R is at parity in every layout. For classification-critical
+    workloads use ``modelnet_nolbo_acc``."""
     return MMVAEConfig(
         z_category_dim=z_dim,
         z_inst_dim=0,
@@ -217,8 +225,28 @@ def kitti_inst_only(z_dim: int = 16, inst_dim: int = 10, backbone: str = "darkne
     )
 
 
+def modelnet_nolbo_acc(z_dim: int = 64, category_dim: int = 40) -> MMVAEConfig:
+    """Accuracy-first flagship layout: blocked encoder HEAD (free,
+    measured) + CLASSIC stride-2 transposed-conv decoder. The r4 matched-
+    budget A/B (RESULTS.md, docs/results/modelnet_nolbo_{encblocked,
+    psfinal,decblocked}.json) isolated the blocked layout's ~5-pt category-
+    accuracy cost to the decoder tail; this config keeps the encoder-side
+    throughput win and the best measured accuracy (0.758 vs classic
+    0.744 / blocked 0.686)."""
+    import dataclasses
+
+    cfg = modelnet_nolbo(z_dim=z_dim, category_dim=category_dim)
+    return dataclasses.replace(
+        cfg,
+        decoder=dataclasses.replace(
+            cfg.decoder, final_mode="transpose", tail_blocked=False
+        ),
+    )
+
+
 REGISTRY = {
     "modelnet_nolbo": modelnet_nolbo,
+    "modelnet_nolbo_acc": modelnet_nolbo_acc,
     "modelnet_nolbo_dr": lambda: modelnet_nolbo(latent_dropout=True),
     "modelnet_vae": modelnet_vae,
     "modelnet_vae_dr": lambda: modelnet_vae(latent_dropout=True),
@@ -298,6 +326,7 @@ def _loss_table():
 
     return {
         "modelnet_nolbo": modelnet_cat,
+        "modelnet_nolbo_acc": modelnet_cat,
         "modelnet_nolbo_dr": modelnet_cat,
         "modelnet_vae": vox_plain,
         "modelnet_vae_dr": vox_plain,

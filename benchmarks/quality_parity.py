@@ -88,7 +88,8 @@ def main(argv=None):
     p.add_argument("--classic", action="store_true",
                    help="classic reference layout instead of the blocked TPU layout")
     p.add_argument("--layout", default=None,
-                   choices=["blocked", "classic", "enc_blocked", "dec_blocked"],
+                   choices=["blocked", "classic", "enc_blocked", "dec_blocked",
+                            "ps_final"],
                    help="layout A/B axis incl. half-and-half diagnostics "
                         "(overrides --classic)")
     p.add_argument("--structural-inst", action="store_true",
