@@ -227,21 +227,29 @@ def kitti_inst_only(z_dim: int = 16, inst_dim: int = 10, backbone: str = "darkne
 
 def modelnet_nolbo_acc(z_dim: int = 64, category_dim: int = 40) -> MMVAEConfig:
     """Accuracy-first flagship layout: blocked encoder HEAD (free,
-    measured) + CLASSIC stride-2 transposed-conv decoder. The r4 matched-
-    budget A/B (RESULTS.md, docs/results/modelnet_nolbo_{encblocked,
+    measured) + CLASSIC-parameterized decoder under the exact
+    phase-decomposed lowering (blocks.py::ConvTransposeEquiv3D). The r4
+    matched-budget A/B (RESULTS.md, docs/results/modelnet_nolbo_{encblocked,
     psfinal,decblocked}.json) isolated the blocked layout's ~5-pt category-
     accuracy cost to the decoder tail; this config keeps the encoder-side
     throughput win and the best measured accuracy (0.758 vs classic
-    0.744 / blocked 0.686). Measured step time (v5e, bf16, B=32):
-    28.4 ms vs 14.3 blocked / ~31 classic — the accuracy/throughput
-    frontier's accuracy end."""
+    0.744 / blocked 0.686). ``mid_equiv`` + ``final_mode='transpose_equiv'``
+    compute the SAME function with the SAME parameter tensors, init, and
+    elementwise-Adam dynamics as the classic transposed-conv decoder
+    (parity-tested in tests/test_nn.py::TestTransposeEquiv), so the
+    enc_blocked accuracy evidence transfers exactly — only the lowering
+    (and therefore the step time) changes. Measured step time (v5e, bf16,
+    B=32): see docs/KERNELS.md §10 (classic lowering was 28.4 ms vs 14.3
+    blocked)."""
     import dataclasses
 
     cfg = modelnet_nolbo(z_dim=z_dim, category_dim=category_dim)
     return dataclasses.replace(
         cfg,
         decoder=dataclasses.replace(
-            cfg.decoder, final_mode="transpose", tail_blocked=False
+            cfg.decoder,
+            final_mode="transpose_equiv",
+            tail_blocked=False,
         ),
     )
 

@@ -102,9 +102,15 @@ def decoder_blocked_block(cfg: MMVAEConfig) -> Optional[int]:
     final d2s relayout AND the fine-grid 1-channel elementwise loss (whose
     C=1 lane-pads 128x on TPU) are both skipped — the loss/P-R are sums of
     elementwise terms, so the layout permutation changes no metric."""
-    from anytime3d_tpu.nn.autoencoder3d import decoder_tail_blocked_active
+    from anytime3d_tpu.nn.autoencoder3d import (
+        decoder_final_equiv_active,
+        decoder_tail_blocked_active,
+    )
 
-    if not decoder_tail_blocked_active(cfg.decoder):
+    if not (
+        decoder_tail_blocked_active(cfg.decoder)
+        or decoder_final_equiv_active(cfg.decoder)
+    ):
         return None
     if any(s % 4 for s in cfg.decoder.output_shape[:-1]):
         return None

@@ -18,10 +18,14 @@ import numpy as np
 
 from anytime3d_tpu.nn.blocks import (
     ConvBlock3D,
+    ConvTransposeEquiv3D,
     DeconvBlock3D,
+    DeconvEquivBlock3D,
     DenseBlock,
     activation,
+    depth_to_space3d,
     group_norm,
+    space_to_depth3d,
 )
 
 
@@ -78,7 +82,10 @@ class Decoder3DConfig:
     # pixel-shuffle form (k=2 dense conv emitting s^3*C channels at the
     # coarse grid + depth-to-space) is the same 2-taps-per-axis linear
     # family and runs 4.4x faster. 'transpose' keeps the classic lowering.
-    final_mode: str = "pixel_shuffle"  # 'pixel_shuffle' | 'transpose'
+    # 'transpose_equiv' is the EXACT phase-decomposed lowering of 'transpose'
+    # (blocks.py::ConvTransposeEquiv3D): identical parameter tensor, init,
+    # function, and elementwise-Adam dynamics, at pixel-shuffle-like speed.
+    final_mode: str = "pixel_shuffle"  # 'pixel_shuffle' | 'transpose' | 'transpose_equiv'
     # Blocked tail: run the last TWO stride-2 stages at the coarse grid with
     # phase channels (k=2 dense convs, 8*C then s_tot^3*C_out channels) and a
     # single depth-to-space at the very end. Removes the two largest
@@ -92,6 +99,11 @@ class Decoder3DConfig:
     # (pixel-shuffle form), stride-1 tiling, no input-dilated lowering in
     # either direction.
     mid_blocked: bool = False
+    # Exact-equivalent middle: every k=4 s=2 transposed-conv stage runs via
+    # ConvTransposeEquiv3D — the classic parameterization (same kernel
+    # tensor/init/dynamics) with the phase-conv lowering. Unlike mid_blocked
+    # this is NOT a reparameterization: training is classic-identical.
+    mid_equiv: bool = False
 
 
 def encoder_head_blocked_active(cfg: "Encoder3DConfig") -> bool:
@@ -115,25 +127,27 @@ def decoder_tail_blocked_active(cfg: "Decoder3DConfig") -> bool:
     )
 
 
-def depth_to_space3d(x: jnp.ndarray, b: int) -> jnp.ndarray:
-    """(B, D, H, W, C*b^3) -> (B, D*b, H*b, W*b, C): scatter each position's
-    channel blocks into a bxbxb spatial neighbourhood (inverse of
-    ``space_to_depth3d``; channel order (bd, bh, bw, c))."""
-    B, D, H, W, Cb = x.shape
-    C = Cb // b**3
-    x = x.reshape(B, D, H, W, b, b, b, C)
-    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
-    return x.reshape(B, D * b, H * b, W * b, C)
+def decoder_final_equiv_active(cfg: "Decoder3DConfig") -> bool:
+    """True when Decoder3D's final stage is the exact phase-decomposed
+    ConvTranspose lowering (blocks.py::ConvTransposeEquiv3D)."""
+    return (
+        cfg.final_mode == "transpose_equiv"
+        and cfg.strides[-1] == 2
+        and cfg.filter_sizes[-1] == 4
+    )
 
 
-def space_to_depth3d(x: jnp.ndarray, b: int) -> jnp.ndarray:
-    """(B, D, H, W, C) -> (B, D/b, H/b, W/b, C*b^3): fold each bxbxb spatial
-    block into channels. Pure reshape/transpose — XLA lowers it to a relayout,
-    no FLOPs."""
-    B, D, H, W, C = x.shape
-    x = x.reshape(B, D // b, b, H // b, b, W // b, b, C)
-    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
-    return x.reshape(B, D // b, H // b, W // b, b * b * b * C)
+def phase2_to_block4(u: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(B, D, H, W, 8*C) phase-2 tensor (channel order (pd, ph, pw, c)) ->
+    the s2d(4)-of-the-fine-grid blocked layout (B, D/2, H/2, W/2, 64*C)
+    with channel order (bd, bh, bw, c). Pure relayout: fine index
+    o = 2j + p with j = 2i + q gives o = 4i + (2q + p), so the block-4
+    index is b = 2q + p per axis."""
+    x = space_to_depth3d(u, 2)  # channels: (qd,qh,qw),(pd,ph,pw),c
+    B, D, H, W, _ = x.shape
+    x = x.reshape(B, D, H, W, 2, 2, 2, 2, 2, 2, c)  # (qd,qh,qw,pd,ph,pw,c)
+    x = x.transpose(0, 1, 2, 3, 4, 7, 5, 8, 6, 9, 10)  # (qd,pd,qh,ph,qw,pw,c)
+    return x.reshape(B, D, H, W, 64 * c)
 
 
 class Encoder3D(nn.Module):
@@ -215,8 +229,10 @@ class Decoder3D(nn.Module):
         x = DenseBlock(int(np.prod(spatial)) * ch, act=cfg.act, dtype=self.dtype)(z)
         x = x.reshape((z.shape[0], *spatial, ch))
         blocked = decoder_tail_blocked_active(cfg)
-        if blocked_output and not blocked:
-            raise ValueError("blocked_output requires the blocked-tail layout")
+        if blocked_output and not (blocked or decoder_final_equiv_active(cfg)):
+            raise ValueError(
+                "blocked_output requires the blocked-tail or transpose_equiv layout"
+            )
         n_mid = len(cfg.filter_nums) - (2 if blocked else 1)
         for f, k, s in zip(cfg.filter_nums[:n_mid], cfg.filter_sizes[:n_mid], cfg.strides[:n_mid]):
             if cfg.mid_blocked and s == 2 and k == 4:
@@ -231,6 +247,8 @@ class Decoder3D(nn.Module):
                 x = depth_to_space3d(x, 2)
                 x = group_norm(f, self.dtype)(x)
                 x = activation(cfg.act)(x)
+            elif cfg.mid_equiv and s == 2 and k == 4:
+                x = DeconvEquivBlock3D(f, act=cfg.act, dtype=self.dtype)(x)
             else:
                 x = DeconvBlock3D(f, k, s, act=cfg.act, dtype=self.dtype)(x)
         if blocked:
@@ -252,7 +270,16 @@ class Decoder3D(nn.Module):
             x = depth_to_space3d(x, 4)
             return activation(cfg.final_act)(x)
         f, k, s = cfg.filter_nums[-1], cfg.filter_sizes[-1], cfg.strides[-1]
-        if cfg.final_mode == "pixel_shuffle" and s > 1:
+        if cfg.final_mode == "transpose_equiv" and s == 2 and k == 4:
+            if blocked_output:
+                # emit the standard block-4 coarse layout without ever
+                # materializing the fine grid: phase-2 conv output ->
+                # relayout (loss/metrics are permutation-invariant sums,
+                # so this changes nothing but the layout)
+                u = ConvTransposeEquiv3D(f, dtype=self.dtype)(x, phase_output=True)
+                return activation(cfg.final_act)(phase2_to_block4(u, f))
+            x = ConvTransposeEquiv3D(f, dtype=self.dtype)(x)
+        elif cfg.final_mode == "pixel_shuffle" and s > 1:
             x = nn.Conv(
                 f * s**3,
                 (max(1, -(-k // s)),) * 3,

@@ -64,7 +64,9 @@ def shard_batch(batch, mesh: Mesh):
 # too. GroupNorm scales/biases and priornet MLPs (<0.1%) replicate.
 DEFAULT_RULES: tuple[tuple[str, P], ...] = (
     (r"decoder/DenseBlock_0/Dense_0/kernel", P(None, "model")),
-    (r"decoder/.*Deconv.*/ConvTranspose_0/kernel", P(None, None, None, None, "model")),
+    # classic ConvTranspose kernels AND their exact phase-decomposed lowering
+    # (blocks.py::ConvTransposeEquiv3D — same (4,4,4,Cin,Cout) kernel shape)
+    (r"decoder/.*ConvTranspose.*/kernel", P(None, None, None, None, "model")),
     # blocked-tail decoder stages (k=2 phase-channel dense convs,
     # nn/autoencoder3d.py::Decoder3D blocked path) — 5-D conv kernels
     (r"decoder/Conv_\d+/kernel", P(None, None, None, None, "model")),

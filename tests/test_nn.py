@@ -265,3 +265,148 @@ class TestMidBlocked:
         g = jax.grad(lambda p: jnp.sum(dec.apply({"params": p}, z)))(params)
         norms = [float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)]
         assert all(np.isfinite(norms)) and max(norms) > 0
+
+
+class TestTransposeEquiv:
+    """ConvTransposeEquiv3D: EXACT phase-decomposed lowering of the k=4 s=2
+    SAME ConvTranspose (blocks.py). Same (4,4,4,Cin,Cout) parameter tensor,
+    same init, same function => same loss surface and elementwise-Adam
+    dynamics as the classic layout; only the lowering differs."""
+
+    def test_module_exact_parity(self):
+        import flax.linen as nn
+        from anytime3d_tpu.nn.blocks import ConvTransposeEquiv3D
+
+        rng = np.random.default_rng(1)
+        for D, cin, cout in [(4, 3, 5), (6, 1, 4), (8, 2, 1)]:
+            x = jnp.asarray(rng.normal(size=(2, D, D, D, cin)).astype(np.float32))
+
+            class Ref(nn.Module):
+                @nn.compact
+                def __call__(self, x):
+                    return nn.ConvTranspose(
+                        cout, (4, 4, 4), strides=(2, 2, 2),
+                        padding="SAME", use_bias=False,
+                    )(x)
+
+            ref = Ref()
+            p_ref = ref.init(jax.random.PRNGKey(0), x)
+            K = p_ref["params"]["ConvTranspose_0"]["kernel"]
+            y_ref = ref.apply(p_ref, x)
+            eq = ConvTransposeEquiv3D(cout)
+            y_eq = eq.apply({"params": {"kernel": K}}, x)
+            assert y_eq.shape == y_ref.shape
+            np.testing.assert_allclose(
+                np.asarray(y_eq), np.asarray(y_ref), atol=1e-5
+            )
+            # gradient parity wrt the (shared) kernel tensor
+            g_ref = jax.grad(
+                lambda k: jnp.sum(
+                    jnp.sin(ref.apply({"params": {"ConvTranspose_0": {"kernel": k}}}, x))
+                )
+            )(K)
+            g_eq = jax.grad(
+                lambda k: jnp.sum(jnp.sin(eq.apply({"params": {"kernel": k}}, x)))
+            )(K)
+            np.testing.assert_allclose(
+                np.asarray(g_eq), np.asarray(g_ref), atol=1e-4
+            )
+
+    def _cfgs(self):
+        classic = Decoder3DConfig(
+            input_dim=8, output_shape=(32, 32, 32, 1),
+            filter_nums=(32, 16, 8, 1), filter_sizes=(4, 4, 4, 4),
+            strides=(1, 2, 2, 2), final_mode="transpose", tail_blocked=False,
+        )
+        import dataclasses
+
+        equiv = dataclasses.replace(
+            classic, final_mode="transpose_equiv", mid_equiv=True
+        )
+        return classic, equiv
+
+    @staticmethod
+    def _remap(params):
+        """Rename classic param paths to the equiv decoder's structure (the
+        tensors themselves are shared between the two lowerings)."""
+        out, j = {}, 0
+        for name in sorted(params):
+            sub = params[name]
+            if name.startswith("DeconvBlock3D_") and "ConvTranspose_0" in sub and name != "DeconvBlock3D_0":
+                out[f"DeconvEquivBlock3D_{j}"] = {
+                    "ConvTransposeEquiv3D_0": {"kernel": sub["ConvTranspose_0"]["kernel"]},
+                    **{k: v for k, v in sub.items() if k != "ConvTranspose_0"},
+                }
+                j += 1
+            elif name == "ConvTranspose_0":
+                out["ConvTransposeEquiv3D_0"] = {"kernel": sub["kernel"]}
+            else:
+                out[name] = sub
+        return out
+
+    def test_decoder_exact_parity(self):
+        classic_cfg, equiv_cfg = self._cfgs()
+        z = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8)).astype(np.float32))
+        dec_c = Decoder3D(classic_cfg)
+        p_c = dec_c.init(jax.random.PRNGKey(0), z)["params"]
+        dec_e = Decoder3D(equiv_cfg)
+        p_e_init = dec_e.init(jax.random.PRNGKey(0), z)["params"]
+        p_e = self._remap(p_c)
+        # structures must match exactly (same shapes, renamed paths)
+        assert jax.tree_util.tree_structure(p_e) == jax.tree_util.tree_structure(p_e_init)
+        y_c = dec_c.apply({"params": p_c}, z)
+        y_e = dec_e.apply({"params": p_e}, z)
+        np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_c), atol=1e-5)
+
+    def test_adam_dynamics_identical(self):
+        """5 Adam steps on both lowerings from the same init: parameter
+        trajectories and losses agree to float precision (Adam is
+        elementwise, the function is identical)."""
+        import optax
+
+        classic_cfg, equiv_cfg = self._cfgs()
+        z = jnp.asarray(np.random.default_rng(2).normal(size=(2, 8)).astype(np.float32))
+        tgt = jnp.asarray(
+            (np.random.default_rng(3).uniform(size=(2, 32, 32, 32, 1)) > 0.7).astype(np.float32)
+        )
+        dec_c = Decoder3D(classic_cfg)
+        p_c = dec_c.init(jax.random.PRNGKey(0), z)["params"]
+        dec_e = Decoder3D(equiv_cfg)
+        p_e = self._remap(p_c)
+
+        def run(dec, params):
+            tx = optax.adam(1e-3)
+            opt = tx.init(params)
+            losses = []
+            for _ in range(5):
+                loss, g = jax.value_and_grad(
+                    lambda p: jnp.mean((dec.apply({"params": p}, z) - tgt) ** 2)
+                )(params)
+                upd, opt = tx.update(g, opt, params)
+                params = optax.apply_updates(params, upd)
+                losses.append(float(loss))
+            return losses, params
+
+        losses_c, pc5 = run(dec_c, p_c)
+        losses_e, pe5 = run(dec_e, p_e)
+        np.testing.assert_allclose(losses_e, losses_c, rtol=1e-4)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(self._remap(pc5)), jax.tree_util.tree_leaves(pe5)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    def test_equiv_blocked_output_layout(self):
+        """blocked_output of the transpose_equiv final == s2d(4) of the full
+        fine-grid output, elementwise (the standard blocked convention) —
+        the fine 64^3 grid is never materialized on the blocked path."""
+        from anytime3d_tpu.nn.autoencoder3d import space_to_depth3d
+
+        _, equiv_cfg = self._cfgs()
+        z = jnp.asarray(np.random.default_rng(4).normal(size=(2, 8)).astype(np.float32))
+        dec = Decoder3D(equiv_cfg)
+        p = dec.init(jax.random.PRNGKey(0), z)["params"]
+        fine = dec.apply({"params": p}, z)
+        blocked = dec.apply({"params": p}, z, blocked_output=True)
+        ref = space_to_depth3d(fine, 4)
+        assert blocked.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(blocked), np.asarray(ref), atol=1e-6)
