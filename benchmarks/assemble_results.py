@@ -166,6 +166,7 @@ def main(argv=None):
                 ("enc_blocked (blocked head, classic dec)", "modelnet_nolbo_encblocked"),
                 ("dec_blocked (classic head, blocked tail)", "modelnet_nolbo_decblocked"),
                 ("ps_final (blocked head, pixel-shuffle final only)", "modelnet_nolbo_psfinal"),
+                ("equiv (acc config: blocked head, classic dec via exact phase lowering)", "modelnet_nolbo_equiv"),
             )
             if k in runs
         ]
@@ -184,7 +185,12 @@ def main(argv=None):
                 "classic; ps_final shows the final-stage reformulation is "
                 "most of it). The blocked encoder head is free — "
                 "`configs.modelnet_nolbo_acc` combines it with the classic "
-                "decoder for classification-critical workloads."
+                "decoder for classification-critical workloads, and since "
+                "r4's exact phase-equiv lowering (KERNELS.md §10) it runs "
+                "the classic parameterization at 22.5 ms/step (was 28.4; "
+                "blocked 14.3): same kernel tensors, init, and Adam "
+                "trajectory as enc_blocked, different lowering — the "
+                "'equiv' row is the empirical confirmation."
             )
             lines.append("")
         # matched-step comparison from the training JSONLs (fair A/B when
