@@ -254,6 +254,26 @@ def modelnet_nolbo_acc(z_dim: int = 64, category_dim: int = 40) -> MMVAEConfig:
     )
 
 
+def pascal_nolbo_acc(**kw) -> MMVAEConfig:
+    """Accuracy-first layout for the image->shape flagship: the shared 64³
+    decoder in its CLASSIC parameterization under the exact phase-equiv
+    lowering (see ``modelnet_nolbo_acc``). Evidence: the voxel-family
+    matched-budget A/B (RESULTS.md) isolated the blocked tail's category-
+    accuracy cost to the decoder REPARAMETERIZATION, and the decoder here
+    is the same `_decoder64`; an image-family A/B has not been run —
+    prefer the blocked default for throughput unless classification
+    accuracy is critical."""
+    import dataclasses
+
+    cfg = pascal_nolbo(**kw)
+    return dataclasses.replace(
+        cfg,
+        decoder=dataclasses.replace(
+            cfg.decoder, final_mode="transpose_equiv", tail_blocked=False
+        ),
+    )
+
+
 REGISTRY = {
     "modelnet_nolbo": modelnet_nolbo,
     "modelnet_nolbo_acc": modelnet_nolbo_acc,
@@ -264,6 +284,7 @@ REGISTRY = {
     "modelnet_ae_dr": lambda: modelnet_ae(latent_dropout=True),
     "ae3d": ae3d,
     "pascal_nolbo": pascal_nolbo,
+    "pascal_nolbo_acc": pascal_nolbo_acc,
     "pascal_category": pascal_category,
     "pascal_vae": pascal_vae,
     "pascal_vae_dr": lambda: pascal_vae(latent_dropout=True),
@@ -344,6 +365,7 @@ def _loss_table():
         "modelnet_ae_dr": vox_plain,
         "ae3d": ae3d_loss,
         "pascal_nolbo": prior_img,
+        "pascal_nolbo_acc": prior_img,
         "pascal_category": pascal_cat,
         "pascal_vae": img_plain,
         "pascal_vae_dr": img_plain,
