@@ -150,6 +150,86 @@ def phase2_to_block4(u: jnp.ndarray, c: int) -> jnp.ndarray:
     return x.reshape(B, D, H, W, 64 * c)
 
 
+def _decoder_stage_names(cfg: "Decoder3DConfig") -> list:
+    """Flax submodule names of the decoder's conv stages, in order, for a
+    given layout config — mirrors Decoder3D.__call__'s branch structure
+    (flax numbers instances per class)."""
+    names, counts = [], {}
+
+    def fresh(cls_name):
+        i = counts.get(cls_name, 0)
+        counts[cls_name] = i + 1
+        return f"{cls_name}_{i}"
+
+    blocked = decoder_tail_blocked_active(cfg)
+    n_mid = len(cfg.filter_nums) - (2 if blocked else 1)
+    for f, k, s in zip(cfg.filter_nums[:n_mid], cfg.filter_sizes[:n_mid], cfg.strides[:n_mid]):
+        if cfg.mid_blocked and s == 2 and k == 4:
+            names.append(fresh("Conv"))  # + GroupNorm handled by caller
+        elif cfg.mid_equiv and s == 2 and k == 4:
+            names.append(fresh("DeconvEquivBlock3D"))
+        else:
+            names.append(fresh("DeconvBlock3D"))
+    if blocked:
+        names.append(fresh("Conv"))
+        names.append(fresh("Conv"))
+        return names
+    k, s = cfg.filter_sizes[-1], cfg.strides[-1]
+    if cfg.final_mode == "transpose_equiv" and s == 2 and k == 4:
+        names.append(fresh("ConvTransposeEquiv3D"))
+    elif cfg.final_mode == "pixel_shuffle" and s > 1:
+        names.append(fresh("Conv"))
+    else:
+        names.append(fresh("ConvTranspose"))
+    return names
+
+
+def remap_decoder_params(params: dict, src_cfg: "Decoder3DConfig", dst_cfg: "Decoder3DConfig") -> dict:
+    """Rename a Decoder3D param subtree from the ``src_cfg`` layout to the
+    ``dst_cfg`` layout, for layout pairs that share parameter TENSORS —
+    i.e. classic 'transpose' <-> exact phase-equiv ('transpose_equiv' /
+    ``mid_equiv``), whose kernels are identical by construction
+    (blocks.py::ConvTransposeEquiv3D). Raises if a stage pair is not
+    tensor-compatible (e.g. blocked/pixel-shuffle reparameterizations).
+
+    Use case: load a classic-layout checkpoint into `configs.*_acc` (or
+    back) — `train.checkpoint.graft_submodule` composability across the
+    layout frontier."""
+    compatible = {
+        ("DeconvBlock3D", "DeconvEquivBlock3D"),
+        ("DeconvEquivBlock3D", "DeconvBlock3D"),
+        ("ConvTranspose", "ConvTransposeEquiv3D"),
+        ("ConvTransposeEquiv3D", "ConvTranspose"),
+    }
+    src_names = _decoder_stage_names(src_cfg)
+    dst_names = _decoder_stage_names(dst_cfg)
+    if len(src_names) != len(dst_names):
+        raise ValueError(f"layout stage mismatch: {src_names} vs {dst_names}")
+    out = dict(params)
+    for s_name, d_name in zip(src_names, dst_names):
+        if s_name == d_name:
+            continue
+        s_cls, d_cls = s_name.rsplit("_", 1)[0], d_name.rsplit("_", 1)[0]
+        if (s_cls, d_cls) not in compatible:
+            raise ValueError(
+                f"stages {s_name} -> {d_name} are not tensor-compatible "
+                "(different parameterizations, not just lowerings)"
+            )
+        sub = out.pop(s_name)
+        if (s_cls, d_cls) == ("DeconvBlock3D", "DeconvEquivBlock3D"):
+            sub = {
+                "ConvTransposeEquiv3D_0": {"kernel": sub["ConvTranspose_0"]["kernel"]},
+                **{k: v for k, v in sub.items() if k != "ConvTranspose_0"},
+            }
+        elif (s_cls, d_cls) == ("DeconvEquivBlock3D", "DeconvBlock3D"):
+            sub = {
+                "ConvTranspose_0": {"kernel": sub["ConvTransposeEquiv3D_0"]["kernel"]},
+                **{k: v for k, v in sub.items() if k != "ConvTransposeEquiv3D_0"},
+            }
+        out[d_name] = sub
+    return out
+
+
 class Encoder3D(nn.Module):
     """Voxel grid (B, D, H, W, C) -> latent vector (B, output_dim)."""
 

@@ -410,3 +410,33 @@ class TestTransposeEquiv:
         ref = space_to_depth3d(fine, 4)
         assert blocked.shape == ref.shape
         np.testing.assert_allclose(np.asarray(blocked), np.asarray(ref), atol=1e-6)
+
+    def test_remap_decoder_params_roundtrip(self):
+        """remap_decoder_params: classic checkpoint loads into the equiv
+        layout (and back) with identical outputs — checkpoint composability
+        across the layout frontier."""
+        from anytime3d_tpu.nn.autoencoder3d import remap_decoder_params
+
+        classic_cfg, equiv_cfg = self._cfgs()
+        z = jnp.asarray(np.random.default_rng(7).normal(size=(2, 8)).astype(np.float32))
+        dec_c = Decoder3D(classic_cfg)
+        p_c = dec_c.init(jax.random.PRNGKey(0), z)["params"]
+        dec_e = Decoder3D(equiv_cfg)
+        p_e = remap_decoder_params(p_c, classic_cfg, equiv_cfg)
+        # structure matches a fresh equiv init
+        p_e_init = dec_e.init(jax.random.PRNGKey(1), z)["params"]
+        assert jax.tree_util.tree_structure(p_e) == jax.tree_util.tree_structure(p_e_init)
+        y_c = dec_c.apply({"params": p_c}, z)
+        y_e = dec_e.apply({"params": p_e}, z)
+        np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_c), atol=1e-5)
+        # and back
+        p_rt = remap_decoder_params(p_e, equiv_cfg, classic_cfg)
+        for a, b in zip(jax.tree_util.tree_leaves(p_rt), jax.tree_util.tree_leaves(p_c)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # incompatible reparameterizations refuse loudly
+        import dataclasses, pytest
+        blocked_cfg = dataclasses.replace(
+            classic_cfg, final_mode="pixel_shuffle", tail_blocked=True
+        )
+        with pytest.raises(ValueError):
+            remap_decoder_params(p_c, classic_cfg, blocked_cfg)
