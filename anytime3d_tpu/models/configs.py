@@ -262,7 +262,8 @@ def pascal_nolbo_acc(**kw) -> MMVAEConfig:
     accuracy cost to the decoder REPARAMETERIZATION, and the decoder here
     is the same `_decoder64`; an image-family A/B has not been run —
     prefer the blocked default for throughput unless classification
-    accuracy is critical."""
+    accuracy is critical. Measured step time (v5e, bf16, B=32, 96x128
+    images): 21.1 ms vs 13.1 blocked."""
     import dataclasses
 
     cfg = pascal_nolbo(**kw)
