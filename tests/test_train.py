@@ -211,6 +211,62 @@ class TestDataParallel:
 
         ge.dryrun_multichip(8)
 
+    def test_equiv_layout_graph_on_mesh(self):
+        """The accuracy-first (exact phase-equiv) decoder layout executes a
+        DPxTP train step on the 8-device mesh and matches the single-device
+        answer — the ConvTransposeEquiv3D 5-D kernels shard under the
+        `decoder/.*ConvTranspose.*/kernel` rule (tiny 16³ shapes)."""
+        import dataclasses
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from anytime3d_tpu.parallel import param_sharding_rules
+
+        mesh = make_mesh(data=4, model=2)
+        cfg = MMVAEConfig(
+            z_category_dim=8,
+            z_inst_dim=0,
+            category_dim=4,
+            encoder="voxel",
+            encoder3d=Encoder3DConfig(
+                output_dim=16, filter_nums=(8, 16, 32), filter_sizes=(4, 4, 4, 4),
+                strides=(2, 2, 2, 1), head_blocked=True,
+            ),
+            decoder=Decoder3DConfig(
+                input_dim=8, output_shape=(16, 16, 16, 1),
+                filter_nums=(32, 16, 8, 1), filter_sizes=(4, 4, 4, 4),
+                strides=(1, 2, 2, 2), final_mode="transpose_equiv",
+                tail_blocked=False, mid_equiv=True,
+            ),
+            prior_category=PriorNetConfig(input_dim=4, unit_nums=(8, 8), const_log_var=0.0),
+            variational=True,
+        )
+        model = MultiModalVAE(cfg)
+        rng = np.random.default_rng(0)
+        vox = (rng.uniform(size=(8, 16, 16, 16, 1)) > 0.7).astype(np.float32)
+        batch = {
+            "input": jnp.asarray(vox),
+            "category_onehot": jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, 8)]),
+        }
+        state = create_train_state(model, jnp.asarray(vox[:1]), jax.random.PRNGKey(0))
+        ref_step = make_train_step(model, LossConfig(), donate=False)
+        ref_state, ref_metrics = ref_step(state, batch, jax.random.PRNGKey(1))
+        jax.block_until_ready(ref_metrics)
+
+        param_sh = param_sharding_rules(state.params, mesh)
+        state = state.replace(
+            params=jax.tree_util.tree_map(jax.device_put, state.params, param_sh),
+            opt_state=jax.device_put(state.opt_state, NamedSharding(mesh, P())),
+            step=jax.device_put(state.step, NamedSharding(mesh, P())),
+        )
+        step = make_train_step(model, LossConfig(), donate=False)
+        _, metrics = step(state, shard_batch(batch, mesh), jax.random.PRNGKey(1))
+        for k in metrics:
+            np.testing.assert_allclose(
+                float(metrics[k]), float(ref_metrics[k]), rtol=2e-3, atol=1e-5,
+                err_msg=f"metric {k} diverges from single-device answer",
+            )
+
 
 class TestImageModel:
     def test_image_encoder_variant(self):
