@@ -405,3 +405,34 @@ class TestHTTPServer:
             assert _json.loads(conn.getresponse().read())["ok"]
         finally:
             server.close()
+
+
+def test_equiv_decoder_exports():
+    """The accuracy-first exact phase-equiv decoder (configs.*_acc layout,
+    blocks.py::ConvTransposeEquiv3D) round-trips through the StableHLO
+    export path like the classic/blocked layouts."""
+    import dataclasses
+
+    cfg = tiny_voxel_cfg(variational=True, with_prior=True, z=Z)
+    cfg = dataclasses.replace(
+        cfg,
+        decoder=dataclasses.replace(
+            cfg.decoder,
+            filter_sizes=(4, 4, 4),
+            final_mode="transpose_equiv",
+            mid_equiv=True,
+        ),
+    )
+    model = MultiModalVAE(cfg)
+    batch = synth_batch(n=4)
+    state = create_train_state(model, batch["input"], jax.random.PRNGKey(0))
+    x = batch["input"]
+    mask = jnp.ones((4, Z), jnp.float32)
+    direct = make_infer_fn(model)(state.params, x, mask)
+    data = export_infer(model, state.params, input_shape=(4, DIM, DIM, DIM, 1))
+    served = load_infer(data)(x, mask)
+    assert set(served) == set(direct)
+    for k in direct:
+        np.testing.assert_allclose(
+            np.asarray(served[k]), np.asarray(direct[k]), rtol=1e-5, atol=1e-5
+        )
