@@ -69,6 +69,11 @@ def main(argv=None):
                    help="part-based procedural CAD instance curriculum "
                         "(data/instances.py) — instance identity is shape, "
                         "not scale (r4; r3 measured the scale-only ceiling)")
+    p.add_argument("--save-params", default=None,
+                   help="Orbax path to save the trained params (before the "
+                        "pace probe donates the state) — lets downstream "
+                        "evals (benchmarks/streaming_fusion.py) reuse the "
+                        "run instead of retraining")
     p.add_argument("--correction", default=None,
                    help="override the correction mode (resample | mean | "
                         "resample_gated | mean_gated); _gated corrects only "
@@ -197,6 +202,12 @@ def main(argv=None):
     final_state = trainer.run(epoch_fn=lambda: train_ld.epoch)
     train_s = time.time() - t0
     params = final_state.params
+    if args.save_params:
+        from anytime3d_tpu.train.checkpoint import save_params as _save_params
+
+        # host copy first: the pace probe below DONATES final_state's buffers
+        _save_params(args.save_params, jax.device_get(params))
+        print("saved params to", args.save_params)
     final_train = {k: round(v, 5) for k, v in trainer.logger.means().items()}
     print(f"\ntrained {args.steps} steps in {train_s:.1f}s; final:", final_train)
 
