@@ -17,11 +17,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from anytime3d_tpu.nn.blocks import (
+    TRANSPOSE_MATCH_INIT,
     ConvBlock3D,
     ConvTransposeEquiv3D,
     DeconvBlock3D,
     DeconvEquivBlock3D,
     DenseBlock,
+    PhaseGroupNorm,
     activation,
     depth_to_space3d,
     group_norm,
@@ -99,6 +101,15 @@ class Decoder3DConfig:
     # (pixel-shuffle form), stride-1 tiling, no input-dilated lowering in
     # either direction.
     mid_blocked: bool = False
+    # Blocked-tail training-dynamics fixes (KERNELS.md §10 diagnosis — the
+    # tail reparameterization, not the layout, costs category accuracy):
+    # tail_init_match_transpose scales the two tail convs' init variance by
+    # 1/8 so outputs start at the classic stride-2 transpose's std (which
+    # only sums 8 of its 64 lecun-scaled taps per fine voxel);
+    # tail_phase_norm replaces the tail GroupNorm's per-phase statistics
+    # with the classic fine-grid statistics (blocks.py::PhaseGroupNorm).
+    tail_init_match_transpose: bool = False
+    tail_phase_norm: bool = False
     # Exact-equivalent middle: every k=4 s=2 transposed-conv stage runs via
     # ConvTransposeEquiv3D — the classic parameterization (same kernel
     # tensor/init/dynamics) with the phase-conv lowering. Unlike mid_blocked
@@ -333,16 +344,26 @@ class Decoder3D(nn.Module):
                 x = DeconvBlock3D(f, k, s, act=cfg.act, dtype=self.dtype)(x)
         if blocked:
             f4 = cfg.filter_nums[-2]
+            tail_init = (
+                TRANSPOSE_MATCH_INIT
+                if cfg.tail_init_match_transpose
+                else nn.initializers.lecun_normal()
+            )
             x = nn.Conv(
-                f4 * 8, (2, 2, 2), padding="SAME", use_bias=False, dtype=self.dtype
+                f4 * 8, (2, 2, 2), padding="SAME", use_bias=False,
+                kernel_init=tail_init, dtype=self.dtype,
             )(x)
-            x = group_norm(f4 * 8, self.dtype)(x)
+            if cfg.tail_phase_norm:
+                x = PhaseGroupNorm(f4, phases=8, dtype=self.dtype)(x)
+            else:
+                x = group_norm(f4 * 8, self.dtype)(x)
             x = activation(cfg.act)(x)
             x = nn.Conv(
                 cfg.filter_nums[-1] * 64,
                 (2, 2, 2),
                 padding="SAME",
                 use_bias=False,
+                kernel_init=tail_init,
                 dtype=self.dtype,
             )(x)
             if blocked_output:

@@ -122,6 +122,52 @@ class ConvBlock3D(nn.Module):
         return x
 
 
+class PhaseGroupNorm(nn.Module):
+    """GroupNorm over a phase-folded tensor with the CLASSIC fine-grid
+    statistics (KERNELS.md §10 dynamics diagnosis; VERDICT r4 weak #1).
+
+    The blocked decoder tail keeps stage outputs at the coarse grid with
+    channels ordered (phase, c) — phase slowest, the ``depth_to_space3d``
+    convention. Plain contiguous-channel GroupNorm there forms groups of
+    (single phase, channel slice): per-phase statistics, which the classic
+    path never computes. This module normalizes group g over
+    (spatial × ALL phases × channel slice) — exactly the element set the
+    classic ``group_norm(features)`` pools at the fine grid after d2s —
+    with per-channel scale/bias shared across phases, matching the classic
+    parameter count (one affine pair per fine channel). Statistics in f32.
+    """
+
+    features: int  # fine-grid channel count C (kernel emits phases*C)
+    phases: int = 8  # folded block volume (2^3 for one stride-2 stage)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, C = x.shape
+        f = self.features
+        assert C == self.phases * f, (C, self.phases, f)
+        g = _num_groups(f)
+        xr = x.astype(jnp.float32).reshape(B, D, H, W, self.phases, g, f // g)
+        mean = xr.mean(axis=(1, 2, 3, 4, 6), keepdims=True)
+        var = xr.var(axis=(1, 2, 3, 4, 6), keepdims=True)
+        xn = (xr - mean) * jax.lax.rsqrt(var + 1e-5)
+        scale = self.param("scale", nn.initializers.ones, (f,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        xn = xn.reshape(B, D, H, W, self.phases, f) * scale + bias
+        return xn.reshape(B, D, H, W, C).astype(self.dtype)
+
+
+# The stride-2 SAME ConvTranspose init quirk the blocked tail must match:
+# lecun-normal draws per-tap std 1/sqrt(k^3*Cin), but stride-2 decimation
+# means each FINE output only sums (k/2)^3*Cin taps, so the classic stage's
+# outputs start at std 1/sqrt(8) of unit. A k=2 dense conv at the coarse
+# grid sums its whole 8*Cin fan-in into every output (std 1) — scale its
+# init variance by 1/8 to reproduce the classic starting point.
+TRANSPOSE_MATCH_INIT = nn.initializers.variance_scaling(
+    1.0 / 8.0, "fan_in", "truncated_normal"
+)
+
+
 class DeconvBlock3D(nn.Module):
     """ConvTranspose3D (no bias) + GroupNorm + activation (conv3DDec analogue)."""
 

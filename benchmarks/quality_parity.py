@@ -66,6 +66,16 @@ def apply_layout(model_cfg, layout: str):
             model_cfg.encoder3d, stem_space_to_depth=1, head_blocked=False
         )
         return dataclasses.replace(model_cfg, encoder3d=enc)
+    if layout in ("blocked_initfix", "blocked_phasenorm", "blocked_dynfix"):
+        # r5 in-place fixes for the blocked tail's training dynamics
+        # (KERNELS.md §10: ~sqrt(8) init fan-in shift + per-phase GroupNorm
+        # statistics). Same 14.3 ms layout, classic-matched dynamics knobs.
+        dec = dataclasses.replace(
+            model_cfg.decoder,
+            tail_init_match_transpose=layout in ("blocked_initfix", "blocked_dynfix"),
+            tail_phase_norm=layout in ("blocked_phasenorm", "blocked_dynfix"),
+        )
+        return dataclasses.replace(model_cfg, decoder=dec)
     if layout == "ps_final":
         # blocked head + pixel-shuffle FINAL only (no blocked penultimate
         # stage): the r4 A/B isolated the accuracy cost to the blocked tail;

@@ -440,3 +440,73 @@ class TestTransposeEquiv:
         )
         with pytest.raises(ValueError):
             remap_decoder_params(p_c, classic_cfg, blocked_cfg)
+
+
+class TestBlockedTailDynamicsFixes:
+    """r5 in-place fixes for the blocked tail's training dynamics
+    (KERNELS.md §10: init fan-in shift + per-phase GroupNorm statistics)."""
+
+    def test_phase_group_norm_matches_classic_fine_grid(self):
+        """PhaseGroupNorm on the coarse phase tensor == classic GroupNorm
+        after depth_to_space (same statistics pool, same affine params)."""
+        from anytime3d_tpu.nn.blocks import (
+            PhaseGroupNorm, depth_to_space3d, group_norm, space_to_depth3d,
+        )
+
+        C, phases = 8, 8
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 4, 4, phases * C))
+        pgn = PhaseGroupNorm(C, phases=phases)
+        p = pgn.init(KEY, x)["params"]
+        # non-trivial affine so scale/bias placement is checked too
+        p = {"scale": p["scale"] * 0 + jnp.arange(1, C + 1, dtype=jnp.float32),
+             "bias": jnp.linspace(-1, 1, C)}
+        got = pgn.apply({"params": p}, x)
+
+        fine = depth_to_space3d(x, 2)  # (2, 8, 8, 8, C)
+        gn = group_norm(C)
+        gp = gn.init(KEY, fine)["params"]
+        gp = {"scale": p["scale"], "bias": p["bias"]}
+        want = space_to_depth3d(gn.apply({"params": gp}, fine), 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_tail_init_match_transpose_scales_std(self):
+        cfg = dict(
+            input_dim=8, output_shape=(16, 16, 16, 1), filter_nums=(16, 8, 1),
+            filter_sizes=(3, 4, 4), strides=(1, 2, 2),
+            final_mode="pixel_shuffle", tail_blocked=True,
+        )
+        z = jax.random.normal(KEY, (2, 8))
+        stds = {}
+        for fix in (False, True):
+            m = Decoder3D(Decoder3DConfig(**cfg, tail_init_match_transpose=fix))
+            params = m.init(jax.random.PRNGKey(11), z)["params"]
+            ks = [v["kernel"] for k, v in params.items() if k.startswith("Conv_")]
+            assert len(ks) == 2
+            stds[fix] = [float(jnp.std(k)) for k in ks]
+        for a, b in zip(stds[True], stds[False]):
+            assert abs(a / b - 1 / np.sqrt(8)) < 0.08, stds
+
+    def test_blocked_dynfix_decoder_runs_and_blocked_output_parity(self):
+        from anytime3d_tpu.nn.blocks import space_to_depth3d
+
+        cfg = Decoder3DConfig(
+            input_dim=8, output_shape=(16, 16, 16, 1), filter_nums=(16, 8, 1),
+            filter_sizes=(3, 4, 4), strides=(1, 2, 2),
+            final_mode="pixel_shuffle", tail_blocked=True,
+            tail_init_match_transpose=True, tail_phase_norm=True,
+        )
+        m = Decoder3D(cfg)
+        z = jax.random.normal(KEY, (2, 8))
+        params = m.init(KEY, z)["params"]
+        fine = m.apply({"params": params}, z)
+        coarse = m.apply({"params": params}, z, blocked_output=True)
+        np.testing.assert_allclose(
+            np.asarray(space_to_depth3d(fine, 4)), np.asarray(coarse),
+            rtol=1e-5, atol=1e-5,
+        )
+        g = jax.grad(lambda p: jnp.sum(m.apply({"params": p}, z) ** 2))(params)
+        assert all(
+            bool(jnp.all(jnp.isfinite(l)))
+            for l in jax.tree_util.tree_leaves(g)
+        )
