@@ -403,6 +403,79 @@ def make_train_step(model: MultiModalVAE, cfg: LossConfig = LossConfig(), donate
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_train_step_dp(
+    model: MultiModalVAE,
+    cfg: LossConfig = LossConfig(),
+    mesh=None,
+    grad_psum_dtype=jnp.bfloat16,
+    donate: bool = True,
+):
+    """``make_train_step`` with an EXPLICIT data-parallel gradient psum in
+    reduced precision (KERNELS.md §8: bf16 grad reduction halves the
+    per-step all-reduce bytes over ICI — the free 2x comms margin vs the
+    reference's f32 cross-replica SUM, src/module/AE3D.py:95-100).
+
+    The step body runs under ``jax.shard_map``, fully manual over the mesh
+    with the batch split on 'data' and params replicated in-body: each data
+    shard computes grads of its LOCAL mean loss, casts them to
+    ``grad_psum_dtype``, psums over 'data' (the collective moves the
+    reduced-precision bytes), divides by the shard count and upcasts to
+    f32 for Adam. Metrics are pmean'd in f32. The per-shard RNG key is
+    fold_in(key, axis_index) so posterior/prior draws stay independent
+    across shards (the implicit-jit path gets this from sharding the
+    global random bits).
+
+    Scope: this is the pure-DP production step — on a DP-only mesh
+    (model=1) it is strictly the implicit path plus the halved-bytes
+    reduction. On a DP×TP mesh it still runs correctly (the in-body
+    replication all-gathers TP-sharded params at entry) but forfeits TP
+    compute partitioning inside the step; a partial-manual shard_map
+    (``axis_names={'data'}``, 'model' auto) would keep it, but check-fails
+    XLA's CPU SPMD partitioner in jax 0.9.0 ("Invalid binary instruction
+    opcode copy", hlo_instruction.cc:1585) — revisit on multichip TPU.
+
+    ``grad_psum_dtype=None``/``jnp.float32`` gives the same explicit-DP
+    step with a full-precision reduction — the control arm of the parity
+    test (tests/test_train.py::test_bf16_grad_psum_parity)."""
+    from jax.sharding import PartitionSpec as P
+
+    assert mesh is not None, "make_train_step_dp requires a mesh"
+    n_data = mesh.shape["data"]
+    rdtype = grad_psum_dtype or jnp.float32
+
+    def local_grads(params, batch, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+
+        def loss_fn(p):
+            return compute_losses(model, cfg, p, batch, key, deterministic=False)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.tree_util.tree_map(
+            lambda g: (
+                jax.lax.psum(g.astype(rdtype), "data") / n_data
+            ).astype(jnp.float32),
+            grads,
+        )
+        metrics = jax.tree_util.tree_map(
+            lambda m: jax.lax.pmean(m, "data"), metrics
+        )
+        return grads, metrics
+
+    sharded_grads = jax.shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P()),
+        out_specs=(P(), P()),
+        axis_names=set(mesh.axis_names),
+    )
+
+    def step(state: TrainState, batch, key):
+        grads, metrics = sharded_grads(state.params, batch, key)
+        return apply_gradients_if_finite(state, grads, metrics)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(model: MultiModalVAE, cfg: LossConfig = LossConfig()):
     """Jitted eval: loss + P/R at posterior sample, no gradient."""
 
