@@ -95,6 +95,7 @@ def evaluate_detector(
     obj_thresh: float = 0.5,
     iou_thresh: float = 0.5,
     top_1_per_cell: bool = True,
+    collect_diagnostics: bool = False,
 ) -> Dict[str, float]:
     """Detection precision/recall at ``iou_thresh`` + matched orientation MAE.
 
@@ -102,6 +103,12 @@ def evaluate_detector(
     targets, data/collate.py). Detections come from the jitted
     ``DetectorReconstructor.detect`` path, one image at a time (B=1 contract,
     nolbo_test.py:86).
+
+    ``collect_diagnostics=True`` additionally returns ``fn_records`` /
+    ``tp_records``: per-ground-truth dicts with the box's normalized area,
+    its max IoU with any OTHER ground-truth box in the image (crowding), and
+    the mean pixel brightness inside the box — the per-FN breakdown VERDICT
+    r4 asked for (small objects? overlap? shading?).
     """
     detect = jax.jit(
         lambda p, img: model.apply(
@@ -112,6 +119,25 @@ def evaluate_detector(
     tp = fp = fn_ = 0
     ori_err, n_matched = 0.0, 0
     scored: list = []  # (score, is_tp) across the whole set, for AP
+    fn_records: list = []
+    tp_records: list = []
+
+    def _gt_record(image, gt_boxes, g):
+        x0, y0, x1, y1 = gt_boxes[g]
+        h_px, w_px = image.shape[:2]
+        c0, c1 = int(max(x0, 0) * w_px), int(min(x1, 1) * w_px)
+        r0, r1 = int(max(y0, 0) * h_px), int(min(y1, 1) * h_px)
+        crop = image[r0:max(r1, r0 + 1), c0:max(c1, c0 + 1)]
+        overlap = max(
+            (_iou(gt_boxes[g], gt_boxes[o]) for o in range(len(gt_boxes)) if o != g),
+            default=0.0,
+        )
+        return {
+            "area": float(max(x1 - x0, 0) * max(y1 - y0, 0)),
+            "max_gt_overlap": float(overlap),
+            "brightness": float(crop.mean()) if crop.size else 0.0,
+        }
+
     for b in range(num_batches):
         batch = batch_fn(b)
         images = np.asarray(batch["images"])
@@ -150,7 +176,11 @@ def evaluate_detector(
                     fp += 1
                     scored.append((float(boxes[j, 4]), False))
             fn_ += int((~taken).sum())
-    return {
+            if collect_diagnostics:
+                for g in range(len(gt_boxes)):
+                    rec = _gt_record(images[i], gt_boxes, g)
+                    (tp_records if taken[g] else fn_records).append(rec)
+    out = {
         "det_precision": tp / max(tp + fp, 1),
         "det_recall": tp / max(tp + fn_, 1),
         "map50": average_precision(scored, gt_count=tp + fn_, iou_thresh=iou_thresh),
@@ -159,3 +189,7 @@ def evaluate_detector(
         "num_fp": float(fp),
         "num_fn": float(fn_),
     }
+    if collect_diagnostics:
+        out["fn_records"] = fn_records
+        out["tp_records"] = tp_records
+    return out

@@ -240,7 +240,16 @@ def modelnet_nolbo_acc(z_dim: int = 64, category_dim: int = 40) -> MMVAEConfig:
     enc_blocked accuracy evidence transfers exactly — only the lowering
     (and therefore the step time) changes. Measured step time (v5e, bf16,
     B=32): see docs/KERNELS.md §10 (classic lowering was 28.4 ms vs 14.3
-    blocked)."""
+    blocked).
+
+    CHECKPOINT MIGRATION (r4): this name previously meant the classic
+    lowering (``final_mode='transpose'``), whose param tree names the final
+    stage ``decoder/ConvTranspose_0`` and whose data path is dense/linear-
+    packed (``blocked_io_block`` None, now 4). Checkpoints saved under the
+    old definition restore after renaming the decoder subtree with
+    ``nn.autoencoder3d.remap_decoder_params(params['decoder'],
+    src_cfg=<classic decoder>, dst_cfg=cfg.decoder)`` — the kernels are
+    tensor-identical, only the flax stage names differ (ADVICE r4)."""
     import dataclasses
 
     cfg = modelnet_nolbo(z_dim=z_dim, category_dim=category_dim)

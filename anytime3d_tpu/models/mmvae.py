@@ -96,9 +96,13 @@ jax.tree_util.register_dataclass(
 
 
 def decoder_blocked_block(cfg: MMVAEConfig) -> Optional[int]:
-    """Block size (4) when the DECODER alone can emit the coarse d2s layout
-    (blocked tail), regardless of encoder modality. Image->shape training
-    uses this to run the voxel loss in the blocked layout: the decoder's
+    """Block size (4) when the DECODER alone can emit the coarse d2s layout,
+    regardless of encoder modality. TWO layouts qualify: the blocked tail
+    (``tail_blocked``) and the exact phase-equiv final stage
+    (``final_mode='transpose_equiv'``, whose phase output relayouts to the
+    same block-4 coarse layout via ``phase2_to_block4``) — so the acc
+    configs' train/bench IO path is packed-blocked too. Image->shape
+    training uses this to run the voxel loss in the blocked layout: the decoder's
     final d2s relayout AND the fine-grid 1-channel elementwise loss (whose
     C=1 lane-pads 128x on TPU) are both skipped — the loss/P-R are sums of
     elementwise terms, so the layout permutation changes no metric."""

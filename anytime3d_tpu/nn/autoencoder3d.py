@@ -227,15 +227,26 @@ def remap_decoder_params(params: dict, src_cfg: "Decoder3DConfig", dst_cfg: "Dec
                 "(different parameterizations, not just lowerings)"
             )
         sub = out.pop(s_name)
-        if (s_cls, d_cls) == ("DeconvBlock3D", "DeconvEquivBlock3D"):
+        inner = {
+            ("DeconvBlock3D", "DeconvEquivBlock3D"): ("ConvTranspose_0", "ConvTransposeEquiv3D_0"),
+            ("DeconvEquivBlock3D", "DeconvBlock3D"): ("ConvTransposeEquiv3D_0", "ConvTranspose_0"),
+        }.get((s_cls, d_cls))
+        if inner is not None:
+            s_inner, d_inner = inner
+            conv = sub[s_inner]
+            # loud failure over silent drop: ConvTransposeEquiv3D carries
+            # ONLY a kernel, so a no-norm DeconvBlock3D's ConvTranspose bias
+            # has no destination slot (ADVICE r4)
+            extra = sorted(set(conv) - {"kernel"})
+            if extra:
+                raise ValueError(
+                    f"stage {s_name}: leaves {extra} beyond 'kernel' have no "
+                    f"counterpart in {d_inner} (use_norm=False bias?) — "
+                    "remap would silently drop them"
+                )
             sub = {
-                "ConvTransposeEquiv3D_0": {"kernel": sub["ConvTranspose_0"]["kernel"]},
-                **{k: v for k, v in sub.items() if k != "ConvTranspose_0"},
-            }
-        elif (s_cls, d_cls) == ("DeconvEquivBlock3D", "DeconvBlock3D"):
-            sub = {
-                "ConvTranspose_0": {"kernel": sub["ConvTransposeEquiv3D_0"]["kernel"]},
-                **{k: v for k, v in sub.items() if k != "ConvTransposeEquiv3D_0"},
+                d_inner: dict(conv),
+                **{k: v for k, v in sub.items() if k != s_inner},
             }
         out[d_name] = sub
     return out

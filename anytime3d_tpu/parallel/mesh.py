@@ -64,9 +64,18 @@ def shard_batch(batch, mesh: Mesh):
 # too. GroupNorm scales/biases and priornet MLPs (<0.1%) replicate.
 DEFAULT_RULES: tuple[tuple[str, P], ...] = (
     (r"decoder/DenseBlock_0/Dense_0/kernel", P(None, "model")),
-    # classic ConvTranspose kernels AND their exact phase-decomposed lowering
-    # (blocks.py::ConvTransposeEquiv3D — same (4,4,4,Cin,Cout) kernel shape)
-    (r"decoder/.*ConvTranspose.*/kernel", P(None, None, None, None, "model")),
+    # classic mid-stage ConvTranspose kernels AND their exact
+    # phase-decomposed lowering (blocks.py::ConvTransposeEquiv3D — same
+    # (4,4,4,Cin,Cout) kernel shape). Scoped to Deconv*Block3D stages: the
+    # FINAL stage's bare decoder/ConvTranspose(Equiv3D)_0 kernel stays
+    # replicated by design — its Cout is the voxel channel count (1), so
+    # output-channel sharding is either impossible or a sliver; keeping it
+    # out of the rule makes that explicit instead of relying on the
+    # divisibility check (ADVICE r4).
+    (
+        r"decoder/Deconv\w*Block3D_\d+/ConvTranspose\w*/kernel",
+        P(None, None, None, None, "model"),
+    ),
     # blocked-tail decoder stages (k=2 phase-channel dense convs,
     # nn/autoencoder3d.py::Decoder3D blocked path) — 5-D conv kernels
     (r"decoder/Conv_\d+/kernel", P(None, None, None, None, "model")),

@@ -349,7 +349,7 @@ def compute_losses(
     # XLA cannot DCE `0.0 * sum(w^2)` (inf/NaN semantics), so the zero-weight
     # variants (modelnet family, ae3d) would otherwise pay a full ~200-leaf
     # parameter reduction every step — measured 1.9 ms on the 31M-param
-    # image model (_profile_image.py, r4).
+    # image model (benchmarks/_profile_image.py, r4).
     if cfg.l2_weight:
         total = total + l2_penalty(params, cfg.l2_weight)
 

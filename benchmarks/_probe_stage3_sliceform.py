@@ -2,6 +2,8 @@
 classic ConvTranspose for stage3 (16^3, 128->64)? The k=3 zero-structured
 form loses there (5.22 vs 3.34 ms, KERNELS.md §10) because of the 27/8 FLOP
 overhead; this form has minimal FLOPs but odd 17^3 intermediates."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -1,6 +1,8 @@
 """Op-level timing: classic ConvTranspose vs exact phase-equiv lowering
 (blocks.py::ConvTransposeEquiv3D) for the decoder's two hot stages, plus
 decoder fwd+bwd for the acc layout. Fence = device->host scalar fetch."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -3,6 +3,8 @@
 Times the EXACT bench graph (packed blocked input, bf16, B=32, donate) and
 its pieces. Fence = device->host scalar fetch (enqueue != done on the axon
 tunnel)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -5,6 +5,8 @@ Diagnoses the image-family bench regression (bench_families vs_baseline
 bench_image: B=32, 96x128 images, packed 64^3 targets, bf16, faithful
 pascal_nolbo loss) and its pieces. Fence = device->host scalar fetch
 (enqueue != done on the axon tunnel)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

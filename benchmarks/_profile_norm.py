@@ -1,6 +1,8 @@
 """Upper-bound measurement: flagship step with ALL activation norms replaced
 by identity (params differ; timing-only experiment). Quantifies the
 GroupNorm bandwidth tax before investing in a norm redesign."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -1,5 +1,7 @@
 """Quick step-time probe for a REGISTRY config (50 fenced iters, bf16, B=32).
-Handles voxel- and image-encoder configs. Usage: python _steptime_probe.py <config>"""
+Handles voxel- and image-encoder configs. Usage: python benchmarks/_steptime_probe.py <config>"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys, time
 import numpy as np
 from anytime3d_tpu.utils.profiling import enable_compilation_cache

@@ -510,3 +510,37 @@ class TestBlockedTailDynamicsFixes:
             bool(jnp.all(jnp.isfinite(l)))
             for l in jax.tree_util.tree_leaves(g)
         )
+
+
+def test_decoder_stage_names_match_param_tree_all_layouts():
+    """_decoder_stage_names hand-mirrors Decoder3D.__call__'s branch
+    structure; this pins the two against each other for EVERY layout combo
+    so a future branch added to one but not the other fails loudly instead
+    of silently corrupting remap_decoder_params' name zip (ADVICE r4)."""
+    import itertools
+
+    from anytime3d_tpu.nn.autoencoder3d import _decoder_stage_names
+
+    z = jax.random.normal(KEY, (1, 8))
+    combos = itertools.product(
+        ("pixel_shuffle", "transpose", "transpose_equiv"),
+        (False, True),  # tail_blocked
+        (False, True),  # mid_blocked
+        (False, True),  # mid_equiv
+    )
+    for final_mode, tail, midb, mide in combos:
+        cfg = Decoder3DConfig(
+            input_dim=8, output_shape=(16, 16, 16, 1),
+            filter_nums=(16, 8, 1), filter_sizes=(4, 4, 4),
+            strides=(1, 2, 2), final_mode=final_mode, tail_blocked=tail,
+            mid_blocked=midb, mid_equiv=mide,
+        )
+        params = Decoder3D(cfg).init(KEY, z)["params"]
+        stage_keys = {
+            k for k in params
+            if not (k.startswith("DenseBlock") or "GroupNorm" in k)
+        }
+        names = _decoder_stage_names(cfg)
+        assert stage_keys == set(names), (
+            final_mode, tail, midb, mide, sorted(stage_keys), names
+        )
