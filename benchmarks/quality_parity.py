@@ -99,7 +99,8 @@ def main(argv=None):
                    help="classic reference layout instead of the blocked TPU layout")
     p.add_argument("--layout", default=None,
                    choices=["blocked", "classic", "enc_blocked", "dec_blocked",
-                            "ps_final"],
+                            "ps_final", "blocked_initfix", "blocked_phasenorm",
+                            "blocked_dynfix"],
                    help="layout A/B axis incl. half-and-half diagnostics "
                         "(overrides --classic)")
     p.add_argument("--structural-inst", action="store_true",
