@@ -9,8 +9,10 @@ from anytime3d_tpu.anytime.engine import (
     classify_by_prior,
     correct_latent,
     GaussianBelief,
+    OccupancyBelief,
     anytime_eval_jit,
     fuse_observation,
+    fuse_occupancy,
     fuse_sequence,
     fuse_sequence_sharded,
 )
@@ -21,8 +23,10 @@ __all__ = [
     "classify_by_prior",
     "correct_latent",
     "GaussianBelief",
+    "OccupancyBelief",
     "anytime_eval_jit",
     "fuse_observation",
+    "fuse_occupancy",
     "fuse_sequence",
     "fuse_sequence_sharded",
     "AnytimeReconstructor",

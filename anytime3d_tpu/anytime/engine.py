@@ -306,6 +306,57 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclasses.dataclass
+class OccupancyBelief:
+    """Associative log-odds fusion of decoded occupancy grids (product of
+    experts over views).
+
+    The latent-space ``GaussianBelief`` is the right fusion when the
+    encoder's per-dim log-var measures OBSERVATION certainty. Under the
+    NOLBO training objective the posterior variance is pulled toward the
+    CLASS-prior variance (nolbo.py:84-98 KL), so across views it is nearly
+    constant and precision-weighted latent fusion degenerates to mean
+    averaging — measured: +0.009 IoU over a single view at N=8
+    (docs/results/streaming_fusion.json). Occupancy-space fusion sidesteps
+    the calibration question: each view's decoded grid votes per voxel in
+    log-odds, the running SUM is associative and order-free (streamable,
+    mesh-shardable with one psum — the same information-filter pattern as
+    ``fuse_sequence_sharded``), and thresholding the mean log-odds at 0.5
+    is exactly per-voxel majority logic over views.
+    """
+
+    log_odds: jnp.ndarray  # running sum of per-observation logit(p)
+    count: jnp.ndarray  # scalar observation count (broadcastable)
+
+    @classmethod
+    def empty(cls, shape, dtype=jnp.float32) -> "OccupancyBelief":
+        return cls(
+            log_odds=jnp.zeros(shape, dtype), count=jnp.zeros((), dtype)
+        )
+
+    @property
+    def probs(self) -> jnp.ndarray:
+        """Calibrated fused occupancy: sigmoid of the MEAN log-odds
+        (geometric-mean expert; same 0.5-threshold decision as the sum)."""
+        return jax.nn.sigmoid(self.log_odds / jnp.maximum(self.count, 1.0))
+
+
+jax.tree_util.register_dataclass(
+    OccupancyBelief, data_fields=["log_odds", "count"], meta_fields=[]
+)
+
+
+def fuse_occupancy(
+    belief: OccupancyBelief, probs: jnp.ndarray, epsilon: float = 1e-6
+) -> OccupancyBelief:
+    """Add one decoded occupancy grid (probabilities in (0,1)) to the belief."""
+    p = jnp.clip(probs.astype(jnp.float32), epsilon, 1.0 - epsilon)
+    return OccupancyBelief(
+        log_odds=belief.log_odds + jnp.log(p) - jnp.log1p(-p),
+        count=belief.count + 1.0,
+    )
+
+
 def fuse_observation(
     belief: GaussianBelief,
     mean: jnp.ndarray,

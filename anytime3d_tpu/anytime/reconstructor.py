@@ -23,7 +23,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from anytime3d_tpu.anytime.engine import GaussianBelief, classify_by_prior, fuse_observation
+from anytime3d_tpu.anytime.engine import (
+    GaussianBelief,
+    OccupancyBelief,
+    classify_by_prior,
+    fuse_observation,
+    fuse_occupancy,
+)
 from anytime3d_tpu.models.mmvae import MultiModalVAE
 
 
@@ -113,6 +119,29 @@ class AnytimeReconstructor:
         if squeeze:
             return GaussianBelief(info=fused.info[0], precision=fused.precision[0])
         return fused
+
+    # ---- occupancy-space (decoded) fusion ---------------------------------
+    def new_shape_belief(self, grid_shape) -> OccupancyBelief:
+        """Empty log-odds accumulator over the decoder's output grid."""
+        return OccupancyBelief.empty(grid_shape)
+
+    def observe_decoded(
+        self, belief: OccupancyBelief, z_or_belief
+    ) -> OccupancyBelief:
+        """Decode one observation's latent and fuse its occupancy grid into
+        the running product-of-experts belief (``belief.probs`` is the
+        anytime fused shape). Accepts a raw latent z or a GaussianBelief
+        (its mean is decoded). Measured to carry the multi-view anytime
+        gain the latent fusion cannot (engine.py::OccupancyBelief)."""
+        z = z_or_belief.mean if isinstance(z_or_belief, GaussianBelief) else z_or_belief
+        return fuse_occupancy(belief, self.decode_z(z))
+
+    def decode_z(self, z):
+        if z.ndim == 1:
+            z = z[None]
+        return self.model.apply(
+            {"params": self.params}, z, method=MultiModalVAE.decode
+        )
 
     def observe_stream(
         self,

@@ -196,11 +196,39 @@ def main(argv=None):
         fused = score(f_cat, f_inst)          # index 1 = N (prefix fusion)
         single = score(m_cat, m_inst)         # index 1 = individual view
         avg = score(a_cat, a_inst)            # uniform-average ablation
+
+        # occupancy-space product-of-experts fusion: per-view decoded grids
+        # vote in log-odds; prefix-mean over views (engine.OccupancyBelief
+        # semantics — associative, streamable). The latent mean/log-var do
+        # not carry view certainty under the NOLBO KL, so THIS is where the
+        # multi-view information actually combines.
+        z_v = jnp.concatenate([m_cat, m_inst], axis=-1).reshape(B * V, -1)
+        pred_v = model.apply({"params": pr}, z_v, method=MultiModalVAE.decode)
+        pred_v = pred_v.reshape(B, V, -1).astype(jnp.float32)
+        pv = jnp.clip(pred_v, 1e-6, 1.0 - 1e-6)
+        lo = jnp.cumsum(jnp.log(pv) - jnp.log1p(-pv), axis=1)
+        pofe = jax.nn.sigmoid(lo / jnp.arange(1, V + 1)[None, :, None])
+        tgt_flat = jnp.broadcast_to(
+            target.reshape(B, 1, -1), pofe.shape
+        ).reshape(B * V, -1)
+        tp, fp, fn = voxel_tp_fp_fn(tgt_flat, pofe.reshape(B * V, -1))
+        tp = tp.reshape(B, V); fp = fp.reshape(B, V); fn = fn.reshape(B, V)
+        pofe_metrics = {
+            "iou": tp / (tp + fp + fn + 1e-9),
+            "precision": tp / (tp + fp + 1e-9),
+            "recall": tp / (tp + fn + 1e-9),
+            "loss_shape": focal_binary_loss(
+                pofe.reshape(B * V, -1), tgt_flat
+            ).reshape(B, V),
+        }
+
         out = {}
         for k in fused:
             out[f"fused_{k}"] = jnp.sum(fused[k], axis=0)       # (V,) per N
             out[f"avg_{k}"] = jnp.sum(avg[k], axis=0)
             out[f"view_{k}"] = jnp.sum(single[k], axis=0)        # per view
+        for k, v in pofe_metrics.items():
+            out[f"pofe_{k}"] = jnp.sum(v, axis=0)
         # best single view per object (oracle view selection)
         out["best_single_iou"] = jnp.sum(jnp.max(single["iou"], axis=1))
         out["first_single_iou"] = jnp.sum(single["iou"][:, 0])
@@ -287,14 +315,15 @@ def main(argv=None):
         json.dump(result, f, indent=1)
     print("wrote", args.out)
 
-    print(f"\n{'N':>2} {'fused IoU':>9} {'avg IoU':>8} {'acc_cat':>8} "
-          f"{'acc_inst':>8} {'recall':>7}")
+    print(f"\n{'N':>2} {'pofe IoU':>9} {'fused IoU':>9} {'avg IoU':>8} "
+          f"{'acc_cat':>8} {'acc_inst':>8} {'pofe R':>7}")
     for i in range(V):
-        print(f"{i+1:>2} {curves['fused_iou'][i]:>9.4f} "
+        print(f"{i+1:>2} {curves['pofe_iou'][i]:>9.4f} "
+              f"{curves['fused_iou'][i]:>9.4f} "
               f"{curves['avg_iou'][i]:>8.4f} "
               f"{curves['fused_acc_category'][i]:>8.4f} "
               f"{curves['fused_acc_inst'][i]:>8.4f} "
-              f"{curves['fused_recall'][i]:>7.4f}")
+              f"{curves['pofe_recall'][i]:>7.4f}")
     print(f"best single view IoU (oracle): {result['best_single_iou']:.4f}")
     return 0
 

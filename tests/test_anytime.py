@@ -189,3 +189,62 @@ class TestGaussianFusion:
             fuse_sequence_sharded(
                 mesh, jnp.zeros((10, 3)), jnp.zeros((10, 3))
             )
+
+
+class TestOccupancyBelief:
+    """Occupancy-space (decoded) log-odds fusion — the product-of-experts
+    multi-view combiner (r5; engine.py::OccupancyBelief)."""
+
+    def test_mean_log_odds_and_majority_semantics(self):
+        from anytime3d_tpu.anytime import OccupancyBelief, fuse_occupancy
+
+        probs = np.array(
+            [[0.9, 0.2, 0.6], [0.8, 0.4, 0.4], [0.9, 0.1, 0.45]], np.float32
+        )
+        b = OccupancyBelief.empty((3,))
+        for p in probs:
+            b = fuse_occupancy(b, jnp.asarray(p))
+        got = np.asarray(b.probs)
+        lo = np.log(probs) - np.log1p(-probs)
+        want = 1.0 / (1.0 + np.exp(-lo.mean(0)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        # thresholding the fused belief at 0.5 == per-voxel majority in
+        # log-odds: voxel 0 strongly on, voxel 1 off, voxel 2 mixed-weak off
+        assert (got > 0.5).tolist() == [True, False, False]
+
+    def test_associative_and_order_free(self):
+        from anytime3d_tpu.anytime import OccupancyBelief, fuse_occupancy
+
+        rng = np.random.default_rng(0)
+        probs = rng.uniform(0.05, 0.95, size=(5, 4, 4)).astype(np.float32)
+        b1 = OccupancyBelief.empty((4, 4))
+        for p in probs:
+            b1 = fuse_occupancy(b1, jnp.asarray(p))
+        b2 = OccupancyBelief.empty((4, 4))
+        for p in probs[::-1]:
+            b2 = fuse_occupancy(b2, jnp.asarray(p))
+        np.testing.assert_allclose(
+            np.asarray(b1.probs), np.asarray(b2.probs), rtol=1e-5
+        )
+
+    def test_reconstructor_observe_decoded(self):
+        from anytime3d_tpu.anytime import AnytimeReconstructor
+        from anytime3d_tpu.models.mmvae import MultiModalVAE
+        from anytime3d_tpu.train import create_train_state
+        from tests.test_train import synth_batch, tiny_voxel_cfg
+
+        model = MultiModalVAE(tiny_voxel_cfg(variational=True, with_prior=True))
+        batch = synth_batch(n=2)
+        state = create_train_state(model, batch["input"], jax.random.PRNGKey(0))
+        params = state.params
+        rec = AnytimeReconstructor(model, params)
+        z_dim = rec.prior_means.shape[-1] + (model.config.z_inst_dim or 0)
+        grid = model.config.decoder.output_shape
+        belief = rec.new_shape_belief((1, *grid))
+        for i in range(3):
+            z = jax.random.normal(jax.random.PRNGKey(i), (1, z_dim))
+            belief = rec.observe_decoded(belief, z)
+        probs = np.asarray(belief.probs)
+        assert probs.shape == (1, *grid)
+        assert np.isfinite(probs).all() and probs.min() >= 0 and probs.max() <= 1
+        assert float(belief.count) == 3.0
