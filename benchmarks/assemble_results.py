@@ -291,6 +291,31 @@ def main(argv=None):
             f"{f(fu['best_single_iou'])}; first view: {f(fu['first_single_iou'])}."
         )
         lines.append("")
+        if fu.get("occlude"):
+            lines.append(
+                "Views are PARTIAL observations (random half-plane occlusion "
+                "per view) — the anytime deployment setting. The full-"
+                "silhouette control is below."
+            )
+            lines.append("")
+        fv_path = os.path.join(args.results, "streaming_fusion_fullviews.json")
+        if os.path.exists(fv_path):
+            with open(fv_path) as fh:
+                fv = json.load(fh)
+            cf = fv["curves_vs_N"]
+            Vf = fv["views"]
+            lines.append(
+                f"Full-silhouette control (streaming_fusion_fullviews.json): "
+                f"fused IoU {f(cf['fused_iou'][0])} -> "
+                f"{f(cf['fused_iou'][Vf-1])} over N=1..{Vf} "
+                f"(pofe {f(cf['pofe_iou'][Vf-1])}), oracle single "
+                f"{f(fv['best_single_iou'])} — complete views are near-"
+                "redundant for this model class (the NOLBO KL calibrates "
+                "posterior variance to the class prior, not observation "
+                "certainty), so fusion saturates at the single-view ceiling; "
+                "the measured finding that motivated OccupancyBelief."
+            )
+            lines.append("")
         iou = c["fused_iou"]
         mono = all(b >= a - 0.003 for a, b in zip(iou, iou[1:]))
         fusion_checks.append(

@@ -48,6 +48,14 @@ def main(argv=None):
     p.add_argument("--views", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--image-size", type=int, default=64)
+    p.add_argument("--occlude", action="store_true",
+                   help="PARTIAL observations: each view is occluded by a "
+                        "random half-plane through the image center, so a "
+                        "single frame genuinely under-determines the shape "
+                        "(the anytime deployment story — observations "
+                        "accumulate). Without it, full silhouettes are "
+                        "near-redundant across views and every fusion "
+                        "saturates at the single-view ceiling (measured).")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
@@ -105,9 +113,17 @@ def main(argv=None):
         az0 = rng.uniform(-np.pi, np.pi)
         for v in range(V):
             az = az0 + 2 * np.pi * v / V
-            imgs[i, v] = (
-                ld._render(vox, az, (es, es))[..., 0] * 255
-            ).astype(np.uint8)
+            mono = ld._render(vox, az, (es, es))[..., 0]
+            if args.occlude:
+                th = rng.uniform(0.0, 2.0 * np.pi)
+                cx = es / 2 + rng.uniform(-es / 8, es / 8)
+                cy = es / 2 + rng.uniform(-es / 8, es / 8)
+                yy, xx = np.mgrid[0:es, 0:es]
+                keep = (
+                    (xx - cx) * np.cos(th) + (yy - cy) * np.sin(th)
+                ) < 0.0
+                mono = mono * keep
+            imgs[i, v] = (mono * 255).astype(np.uint8)
         vox_packed.append(pack_voxels(vox[None, ..., None])[0])
     vox_packed = np.stack(vox_packed)
     cls_idx = ld._labels[: args.objects]
@@ -301,6 +317,7 @@ def main(argv=None):
         "structural_inst": args.structural_inst,
         "objects": n,
         "views": V,
+        "occlude": args.occlude,
         "image_size": es,
         "dim": dim,
         "fusion_seconds": round(fuse_s, 1),
