@@ -347,14 +347,29 @@ jax.tree_util.register_dataclass(
 
 
 def fuse_occupancy(
-    belief: OccupancyBelief, probs: jnp.ndarray, epsilon: float = 1e-6
+    belief: OccupancyBelief,
+    probs: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    epsilon: float = 1e-6,
 ) -> OccupancyBelief:
-    """Add one decoded occupancy grid (probabilities in (0,1)) to the belief."""
+    """Add one decoded occupancy grid (probabilities in (0,1)) to the belief.
+
+    ``mask`` (same shape, 1 = this observation actually SEES the voxel):
+    visibility-masked fusion — the volumetric-fusion standard (TSDF-style).
+    A partially-occluded view decodes a systematically-absent guess for
+    voxels it cannot see; without the mask those bogus votes accumulate and
+    fusion DEGRADES with N (measured:
+    docs/results/streaming_fusion_occluded.json pofe 0.137 -> 0.096 over
+    N=1..8). With it only observed voxels vote, ``count`` becomes per-voxel,
+    and unobserved voxels stay at the 0.5 prior (-> absent at threshold)."""
     p = jnp.clip(probs.astype(jnp.float32), epsilon, 1.0 - epsilon)
-    return OccupancyBelief(
-        log_odds=belief.log_odds + jnp.log(p) - jnp.log1p(-p),
-        count=belief.count + 1.0,
-    )
+    vote = jnp.log(p) - jnp.log1p(-p)
+    if mask is not None:
+        m = mask.astype(jnp.float32)
+        return OccupancyBelief(
+            log_odds=belief.log_odds + m * vote, count=belief.count + m
+        )
+    return OccupancyBelief(log_odds=belief.log_odds + vote, count=belief.count + 1.0)
 
 
 def fuse_observation(

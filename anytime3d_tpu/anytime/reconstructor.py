@@ -126,15 +126,17 @@ class AnytimeReconstructor:
         return OccupancyBelief.empty(grid_shape)
 
     def observe_decoded(
-        self, belief: OccupancyBelief, z_or_belief
+        self, belief: OccupancyBelief, z_or_belief, mask=None
     ) -> OccupancyBelief:
         """Decode one observation's latent and fuse its occupancy grid into
         the running product-of-experts belief (``belief.probs`` is the
         anytime fused shape). Accepts a raw latent z or a GaussianBelief
-        (its mean is decoded). Measured to carry the multi-view anytime
-        gain the latent fusion cannot (engine.py::OccupancyBelief)."""
+        (its mean is decoded). ``mask``: per-voxel visibility of THIS
+        observation (engine.fuse_occupancy) — required for partially-
+        occluded views, whose decodes systematically vote 'absent' on
+        voxels they cannot see."""
         z = z_or_belief.mean if isinstance(z_or_belief, GaussianBelief) else z_or_belief
-        return fuse_occupancy(belief, self.decode_z(z))
+        return fuse_occupancy(belief, self.decode_z(z), mask)
 
     def decode_z(self, z):
         if z.ndim == 1:

@@ -105,7 +105,24 @@ def main(argv=None):
     rng = np.random.default_rng(7)
     t_host = time.time()
     imgs = np.zeros((args.objects, V, es, es), np.uint8)
-    vox_packed = []
+    vox_packed, vis_packed = [], []
+    if args.occlude and es != dim:
+        raise SystemExit("--occlude requires image_size == voxel dim (the "
+                         "visibility back-projection assumes 1:1 pixels)")
+
+    def visibility_mask(sx, sz, keep):
+        """Voxels observed by a view: back-project the KEPT pixels through
+        the same nearest-neighbour rotation the renderer uses (_render:
+        rot[a,b,y] = vox[sx[a,b], y, sz[a,b]]; img[b,a] = max_y) — a pixel
+        (b,a) observes the whole y-column at rotated (x,z) = (sx,sz)[a,b]."""
+        mask2d = np.zeros((dim, dim), bool)  # (x, z) canonical
+        kept = keep.T  # keep is (row=b, col=a) -> index by (a, b)
+        mask2d[sx[kept], sz[kept]] = True
+        return np.broadcast_to(mask2d[:, None, :], (dim, dim, dim))
+
+    d_idx = np.arange(dim) - dim / 2 + 0.5
+    gx, gz = np.meshgrid(d_idx, d_idx, indexing="ij")
+    yy, xx = np.mgrid[0:es, 0:es]
     for i in range(args.objects):
         vox = ld._make(i)
         # V azimuths: uniformly spread with a random per-object offset, so
@@ -118,14 +135,26 @@ def main(argv=None):
                 th = rng.uniform(0.0, 2.0 * np.pi)
                 cx = es / 2 + rng.uniform(-es / 8, es / 8)
                 cy = es / 2 + rng.uniform(-es / 8, es / 8)
-                yy, xx = np.mgrid[0:es, 0:es]
                 keep = (
                     (xx - cx) * np.cos(th) + (yy - cy) * np.sin(th)
                 ) < 0.0
                 mono = mono * keep
+                c, s = np.cos(az), np.sin(az)
+                sx = np.clip(np.round(c * gx - s * gz + dim / 2 - 0.5),
+                             0, dim - 1).astype(int)
+                sz = np.clip(np.round(s * gx + c * gz + dim / 2 - 0.5),
+                             0, dim - 1).astype(int)
+                vis = visibility_mask(sx, sz, keep)
+                vis_packed.append(
+                    pack_voxels(vis.astype(np.float32)[None, ..., None])[0]
+                )
             imgs[i, v] = (mono * 255).astype(np.uint8)
         vox_packed.append(pack_voxels(vox[None, ..., None])[0])
     vox_packed = np.stack(vox_packed)
+    vis_packed = (
+        np.stack(vis_packed).reshape(args.objects, V, -1)
+        if args.occlude else None
+    )
     cls_idx = ld._labels[: args.objects]
     inst_idx = ld._insts[: args.objects]
     cls_oh = np.eye(n_cls, dtype=np.float32)[cls_idx]
@@ -141,7 +170,7 @@ def main(argv=None):
     )(params)
 
     # ---- one jitted program: encode V views, fuse prefixes, decode, score
-    def eval_batch(pr, images_u8, target_pk, cat_oh, inst_oh_b):
+    def eval_batch(pr, images_u8, target_pk, cat_oh, inst_oh_b, vis_pk=None):
         """images_u8 (B,V,es,es) -> metric sums for every N in 1..V."""
         target = unpack_voxels(target_pk, (dim, dim, dim, 1))
         x = images_u8.astype(jnp.bfloat16) / 255.0
@@ -245,6 +274,30 @@ def main(argv=None):
             out[f"view_{k}"] = jnp.sum(single[k], axis=0)        # per view
         for k, v in pofe_metrics.items():
             out[f"pofe_{k}"] = jnp.sum(v, axis=0)
+
+        if vis_pk is not None:
+            # visibility-masked occupancy fusion (engine.fuse_occupancy with
+            # mask): only voxels a view SEES vote; unobserved stay at the
+            # 0.5 prior (-> absent at threshold). The TSDF-style fusion.
+            vis = unpack_voxels(
+                vis_pk.reshape(B * V, -1), (dim, dim, dim, 1)
+            ).reshape(B, V, -1)
+            vote = jnp.log(pv) - jnp.log1p(-pv)
+            lo_m = jnp.cumsum(vis * vote, axis=1)
+            cnt = jnp.cumsum(vis, axis=1)
+            visp = jax.nn.sigmoid(lo_m / jnp.maximum(cnt, 1.0))
+            # never-observed voxels: exactly 0.5 -> push below threshold
+            visp = jnp.where(cnt > 0, visp, 0.0)
+            tp2, fp2, fn2 = voxel_tp_fp_fn(
+                tgt_flat, visp.reshape(B * V, -1)
+            )
+            tp2 = tp2.reshape(B, V); fp2 = fp2.reshape(B, V); fn2 = fn2.reshape(B, V)
+            out["vispofe_iou"] = jnp.sum(tp2 / (tp2 + fp2 + fn2 + 1e-9), axis=0)
+            out["vispofe_precision"] = jnp.sum(tp2 / (tp2 + fp2 + 1e-9), axis=0)
+            out["vispofe_recall"] = jnp.sum(tp2 / (tp2 + fn2 + 1e-9), axis=0)
+            out["coverage"] = jnp.sum(
+                jnp.mean((cnt > 0).astype(jnp.float32), axis=-1), axis=0
+            )
         # best single view per object (oracle view selection)
         out["best_single_iou"] = jnp.sum(jnp.max(single["iou"], axis=1))
         out["first_single_iou"] = jnp.sum(single["iou"][:, 0])
@@ -264,6 +317,7 @@ def main(argv=None):
         out = eval_jit(
             params, jnp.asarray(imgs[sl]), jnp.asarray(vox_packed[sl]),
             jnp.asarray(cls_oh[sl]), jnp.asarray(inst_oh[sl]),
+            jnp.asarray(vis_packed[sl]) if vis_packed is not None else None,
         )
         out = {k: np.asarray(v, np.float64) for k, v in out.items()}
         preds_cat.append(out.pop("pred_cat_fusedV").astype(int))
@@ -332,15 +386,24 @@ def main(argv=None):
         json.dump(result, f, indent=1)
     print("wrote", args.out)
 
-    print(f"\n{'N':>2} {'pofe IoU':>9} {'fused IoU':>9} {'avg IoU':>8} "
-          f"{'acc_cat':>8} {'acc_inst':>8} {'pofe R':>7}")
+    vis_col = "vispofe_iou" in curves
+    hdr = f"\n{'N':>2} "
+    hdr += f"{'vis IoU':>8} {'cover':>6} " if vis_col else ""
+    hdr += (f"{'pofe IoU':>9} {'fused IoU':>9} {'avg IoU':>8} "
+            f"{'acc_cat':>8} {'acc_inst':>8} {'pofe R':>7}")
+    print(hdr)
     for i in range(V):
-        print(f"{i+1:>2} {curves['pofe_iou'][i]:>9.4f} "
-              f"{curves['fused_iou'][i]:>9.4f} "
-              f"{curves['avg_iou'][i]:>8.4f} "
-              f"{curves['fused_acc_category'][i]:>8.4f} "
-              f"{curves['fused_acc_inst'][i]:>8.4f} "
-              f"{curves['pofe_recall'][i]:>7.4f}")
+        row = f"{i+1:>2} "
+        if vis_col:
+            row += (f"{curves['vispofe_iou'][i]:>8.4f} "
+                    f"{curves['coverage'][i]:>6.3f} ")
+        row += (f"{curves['pofe_iou'][i]:>9.4f} "
+                f"{curves['fused_iou'][i]:>9.4f} "
+                f"{curves['avg_iou'][i]:>8.4f} "
+                f"{curves['fused_acc_category'][i]:>8.4f} "
+                f"{curves['fused_acc_inst'][i]:>8.4f} "
+                f"{curves['pofe_recall'][i]:>7.4f}")
+        print(row)
     print(f"best single view IoU (oracle): {result['best_single_iou']:.4f}")
     return 0
 

@@ -248,3 +248,23 @@ class TestOccupancyBelief:
         assert probs.shape == (1, *grid)
         assert np.isfinite(probs).all() and probs.min() >= 0 and probs.max() <= 1
         assert float(belief.count) == 3.0
+
+    def test_visibility_masked_fusion(self):
+        """Masked votes: only observed voxels accumulate; unobserved stay
+        at the 0.5 prior (engine.fuse_occupancy mask semantics)."""
+        from anytime3d_tpu.anytime import OccupancyBelief, fuse_occupancy
+
+        b = OccupancyBelief.empty((4,))
+        # view 1 sees voxels 0,1 and votes present/absent
+        b = fuse_occupancy(b, jnp.asarray([0.9, 0.1, 0.7, 0.2]),
+                           mask=jnp.asarray([1.0, 1.0, 0.0, 0.0]))
+        # view 2 sees voxels 1,2: voxel 1 gets a second (present) vote
+        b = fuse_occupancy(b, jnp.asarray([0.4, 0.9, 0.8, 0.1]),
+                           mask=jnp.asarray([0.0, 1.0, 1.0, 0.0]))
+        p = np.asarray(b.probs)
+        np.testing.assert_allclose(p[0], 0.9, rtol=1e-5)  # single vote kept
+        lo = (np.log(0.1/0.9) + np.log(0.9/0.1)) / 2.0
+        np.testing.assert_allclose(p[1], 1/(1+np.exp(-lo)), rtol=1e-5)
+        np.testing.assert_allclose(p[2], 0.8, rtol=1e-5)
+        np.testing.assert_allclose(p[3], 0.5, rtol=1e-5)  # never observed
+        np.testing.assert_allclose(np.asarray(b.count), [1, 2, 1, 0])
