@@ -131,7 +131,12 @@ def build_loaders(args, model_cfg):
             Pascal3DSingleObjectLoader(args.data, "train"),
             Pascal3DSingleObjectLoader(args.data, "val"),
         )
-    return ModelNetLoader(args.data, "train"), ModelNetLoader(args.data, "test")
+    # partial_num=None: read every shard present (full dataset = the
+    # reference's 30; subsets/fixtures get what exists)
+    return (
+        ModelNetLoader(args.data, "train", partial_num=None),
+        ModelNetLoader(args.data, "test", partial_num=None),
+    )
 
 
 def main(argv=None):
@@ -182,6 +187,17 @@ def main(argv=None):
     loader, eval_loader = build_loaders(args, model_cfg)
     if args.swap_splits:
         loader, eval_loader = eval_loader, loader
+
+    # datasets define the class count (the reference sizes its one-hots from
+    # the CAD dir walk, pascal3D.py:21-54): when a real dataset disagrees
+    # with the variant's default (e.g. a Pascal subset), rebuild the config
+    # at the dataset's width so priornet/one-hot shapes line up.
+    n_data_cls = len(getattr(loader, "class_index", ()) or ())
+    if n_data_cls and model_cfg.category_dim and n_data_cls != model_cfg.category_dim:
+        print(f"dataset defines {n_data_cls} classes "
+              f"(config default {model_cfg.category_dim}) — resizing")
+        model_cfg, loss_cfg = configs.variant(args.config, category_dim=n_data_cls)
+        model = MultiModalVAE(model_cfg, dtype=dtype)
 
     schedule = None
     if args.multi_scale and image_encoder:

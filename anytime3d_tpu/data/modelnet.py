@@ -29,18 +29,28 @@ class ModelNetLoader:
         self,
         data_path: str,
         train_or_test: str = "train",
-        partial_num: int = 30,
+        partial_num: int | None = 30,
         process_index: int = 0,
         process_count: int = 1,
         seed: int = 0,
         mmap: bool = True,
     ):
+        """``partial_num``: number of train shards to read (reference
+        default 30, modelnet_dataset.py:24); ``None`` = every ``*Full.npy``
+        shard present on disk (subsets / fixtures)."""
         self.epoch = 0
         self.batchStart = 0
         self._rng = np.random.default_rng(seed + process_index)
         split = "train" if train_or_test == "train" else "test"
-        n_shards = partial_num if split == "train" else 5
         base = os.path.join(data_path, "32to64_4rot_64sqr", split)
+        if partial_num is None:
+            import glob as _glob
+
+            n_shards = len(_glob.glob(os.path.join(base, "*Full.npy")))
+            if n_shards == 0:
+                raise FileNotFoundError(f"no *Full.npy shards under {base}")
+        else:
+            n_shards = partial_num if split == "train" else 5
         mmap_mode = "r" if mmap else None
 
         vox, cls, inst = [], [], []

@@ -390,7 +390,14 @@ def loss_config(name: str):
     return _loss_table()[name]
 
 
-def variant(name: str):
+def variant(name: str, **overrides):
     """REGISTRY entry point for training: everything needed to train ``name``
-    faithfully — ``(MMVAEConfig, LossConfig)``."""
-    return REGISTRY[name](), loss_config(name)
+    faithfully — ``(MMVAEConfig, LossConfig)``.
+
+    ``overrides`` forward to the config factory (e.g.
+    ``category_dim=len(loader.class_index)`` when a dataset defines fewer
+    classes than the reference default — the reference sizes its one-hots
+    from the dataset too, pascal3D.py:21-54). Factories that take no
+    kwargs raise loudly on unsupported overrides."""
+    cfg = REGISTRY[name](**overrides) if overrides else REGISTRY[name]()
+    return cfg, loss_config(name)

@@ -199,7 +199,11 @@ class Trainer:
                     save_state(cfg.save_path, self.state, wait=False)
                     last_saved_step = it
 
-            if self.eval_batch_fn is not None and (it + 1) % cfg.eval_every == 0:
+            if (
+                self.eval_batch_fn is not None
+                and cfg.eval_every > 0
+                and (it + 1) % cfg.eval_every == 0
+            ):
                 self.evaluate(it)
             it += 1
 

@@ -167,6 +167,9 @@ def main(argv=None):
                 ("dec_blocked (classic head, blocked tail)", "modelnet_nolbo_decblocked"),
                 ("ps_final (blocked head, pixel-shuffle final only)", "modelnet_nolbo_psfinal"),
                 ("equiv (acc config: blocked head, classic dec via exact phase lowering)", "modelnet_nolbo_equiv"),
+                ("blocked + initfix (1/8 tail init variance, r5)", "modelnet_nolbo_initfix"),
+                ("blocked + phasenorm (classic-stat tail GroupNorm, r5)", "modelnet_nolbo_phasenorm"),
+                ("blocked + initfix + phasenorm (r5)", "modelnet_nolbo_dynfix"),
             )
             if k in runs
         ]
