@@ -69,6 +69,10 @@ def main(argv=None):
                    help="part-based procedural CAD instance curriculum "
                         "(data/instances.py) — instance identity is shape, "
                         "not scale (r4; r3 measured the scale-only ceiling)")
+    p.add_argument("--load-params", default=None,
+                   help="Orbax params dir to warm-start from (continue a "
+                        "prior --save-params run; optimizer state starts "
+                        "fresh)")
     p.add_argument("--save-params", default=None,
                    help="Orbax path to save the trained params (before the "
                         "pace probe donates the state) — lets downstream "
@@ -188,6 +192,13 @@ def main(argv=None):
         jax.random.PRNGKey(0),
         learning_rate=args.learning_rate,
     )
+    if args.load_params:
+        from anytime3d_tpu.train.checkpoint import restore_params
+
+        state = state.replace(params=jax.device_put(restore_params(
+            args.load_params, jax.device_get(state.params)
+        )))
+        print("warm-started params from", args.load_params)
     trainer = Trainer(
         model,
         state,
