@@ -48,6 +48,14 @@ def main(argv=None):
     p.add_argument("--views", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--image-size", type=int, default=64)
+    p.add_argument("--latent-mask", type=float, default=0.0,
+                   help="PARTIAL observations in the reference's own model "
+                        "(nolbo.py:199-208): each view reveals this "
+                        "fraction of its posterior dims; fusion is the "
+                        "masked information filter, unobserved dims take "
+                        "the reference fill. In-distribution (unlike image "
+                        "occlusion, which is OOD for an encoder trained on "
+                        "full silhouettes — committed negative).")
     p.add_argument("--occlude", action="store_true",
                    help="PARTIAL observations: each view is occluded by a "
                         "random half-plane through the image center, so a "
@@ -170,8 +178,16 @@ def main(argv=None):
     )(params)
 
     # ---- one jitted program: encode V views, fuse prefixes, decode, score
-    def eval_batch(pr, images_u8, target_pk, cat_oh, inst_oh_b, vis_pk=None):
-        """images_u8 (B,V,es,es) -> metric sums for every N in 1..V."""
+    def eval_batch(pr, images_u8, target_pk, cat_oh, inst_oh_b, vis_pk=None,
+                   lat_mask=None):
+        """images_u8 (B,V,es,es) -> metric sums for every N in 1..V.
+
+        ``lat_mask`` (B,V,Dc+Di): per-view OBSERVED latent dims — the
+        reference's partial-observation model (nolbo.py:199-208) applied to
+        N real views. Fusion becomes the masked information filter
+        (engine.fuse_observation with mask); unobserved-by-all dims take
+        the reference's fill (mean of prior means / mean of the GT
+        category's instance-prior means)."""
         target = unpack_voxels(target_pk, (dim, dim, dim, 1))
         x = images_u8.astype(jnp.bfloat16) / 255.0
         x = jnp.repeat(x[..., None], 3, axis=-1)  # mono -> RGB
@@ -179,20 +195,55 @@ def main(argv=None):
             {"params": pr}, x.reshape(B * V, es, es, 3),
             method=MultiModalVAE.encode,
         )
+        # GT-category-conditioned instance prior table (hoisted: score() and
+        # the instance-block fill both need it)
+        eye_i = jnp.eye(n_inst, dtype=jnp.float32)
+        cat_rep = jnp.repeat(cat_oh, n_inst, axis=0)
+        inst_prior_means, _ = model.apply(
+            {"params": pr},
+            jnp.concatenate([cat_rep, jnp.tile(eye_i, (B, 1))], -1),
+            method=MultiModalVAE.priors_inst,
+        )
+        inst_prior_means = inst_prior_means.reshape(B, n_inst, -1)
 
-        def blocks(mean, lv):
+        def blocks(mean, lv, mask=None, fill=None):
             mean = mean.astype(jnp.float32).reshape(B, V, -1)
             lv = lv.astype(jnp.float32).reshape(B, V, -1)
             prec = jnp.exp(-lv)
+            w = prec if mask is None else mask * prec
             # information-filter prefix fusion: cumulative sums over views
-            info_c = jnp.cumsum(mean * prec, axis=1)
-            prec_c = jnp.cumsum(prec, axis=1)
-            fused = info_c / prec_c                  # (B, V, D) mean after N
-            avg = jnp.cumsum(mean, axis=1) / jnp.arange(1, V + 1)[None, :, None]
-            return mean, fused, avg
+            info_c = jnp.cumsum(mean * w, axis=1)
+            prec_c = jnp.cumsum(w, axis=1)
+            fused = info_c / jnp.maximum(prec_c, 1e-12)  # (B,V,D) after N
+            nview = jnp.arange(1, V + 1, dtype=jnp.float32)[None, :, None]
+            if mask is None:
+                single = mean
+                avg = jnp.cumsum(mean, axis=1) / nview
+            else:
+                fused = jnp.where(prec_c > 0, fused, fill)
+                single = jnp.where(mask > 0, mean, fill)
+                cnt = jnp.cumsum(mask, axis=1)
+                avg = jnp.where(
+                    cnt > 0,
+                    jnp.cumsum(mask * mean, axis=1) / jnp.maximum(cnt, 1e-12),
+                    fill,
+                )
+            return single, fused, avg
 
-        m_cat, f_cat, a_cat = blocks(enc.mean_category, enc.log_var_category)
-        m_inst, f_inst, a_inst = blocks(enc.mean_inst, enc.log_var_inst)
+        if lat_mask is not None:
+            zc = model_cfg.z_category_dim
+            mk_cat, mk_inst = lat_mask[..., :zc], lat_mask[..., zc:]
+            fill_cat = jnp.mean(prior_means, axis=0)[None, None]
+            fill_inst = jnp.mean(inst_prior_means, axis=1)[:, None]
+        else:
+            mk_cat = mk_inst = None
+            fill_cat = fill_inst = None
+        m_cat, f_cat, a_cat = blocks(
+            enc.mean_category, enc.log_var_category, mk_cat, fill_cat
+        )
+        m_inst, f_inst, a_inst = blocks(
+            enc.mean_inst, enc.log_var_inst, mk_inst, fill_inst
+        )
 
         def score(z_cat, z_inst):
             """(B,V,D) latents (index 1 = N or view) -> per-N metric sums."""
@@ -216,16 +267,9 @@ def main(argv=None):
             )
             # instance id conditioned on the GT category (engine semantics,
             # nolbo.py:166-171)
-            eye_i = jnp.eye(n_inst, dtype=jnp.float32)
-            cat_rep = jnp.repeat(cat_oh, n_inst, axis=0)
-            inst_means, _ = model.apply(
-                {"params": pr},
-                jnp.concatenate([cat_rep, jnp.tile(eye_i, (B, 1))], -1),
-                method=MultiModalVAE.priors_inst,
-            )
-            inst_means = inst_means.reshape(B, 1, n_inst, -1)
             d2i = jnp.sum(
-                jnp.square(z_inst[:, :, None, :] - inst_means), -1
+                jnp.square(z_inst[:, :, None, :] - inst_prior_means[:, None]),
+                -1,
             )
             acc_inst = (
                 jnp.argmin(d2i, -1) == jnp.argmax(inst_oh_b, -1)[:, None]
@@ -247,6 +291,8 @@ def main(argv=None):
         # semantics — associative, streamable). The latent mean/log-var do
         # not carry view certainty under the NOLBO KL, so THIS is where the
         # multi-view information actually combines.
+        # (in latent-mask mode m_cat/m_inst are the masked+filled per-view
+        # latents — the reference's single-shot protocol per view)
         z_v = jnp.concatenate([m_cat, m_inst], axis=-1).reshape(B * V, -1)
         pred_v = model.apply({"params": pr}, z_v, method=MultiModalVAE.decode)
         pred_v = pred_v.reshape(B, V, -1).astype(jnp.float32)
@@ -274,6 +320,12 @@ def main(argv=None):
             out[f"view_{k}"] = jnp.sum(single[k], axis=0)        # per view
         for k, v in pofe_metrics.items():
             out[f"pofe_{k}"] = jnp.sum(v, axis=0)
+
+        if lat_mask is not None:
+            # fraction of latent dims observed by SOME view among the first N
+            out["lat_coverage"] = jnp.sum(
+                jnp.mean(jax.lax.cummax(lat_mask, axis=1), axis=-1), axis=0
+            )
 
         if vis_pk is not None:
             # visibility-masked occupancy fusion (engine.fuse_occupancy with
@@ -309,6 +361,14 @@ def main(argv=None):
 
     eval_jit = jax.jit(eval_batch)
 
+    lat_masks = None
+    if args.latent_mask > 0.0:
+        z_total = model_cfg.z_category_dim + model_cfg.z_inst_dim
+        lat_masks = (
+            np.random.default_rng(11).random((args.objects, V, z_total))
+            < args.latent_mask
+        ).astype(np.float32)
+
     sums, preds_cat = None, []
     n_batches = args.objects // B
     t0 = time.time()
@@ -318,6 +378,7 @@ def main(argv=None):
             params, jnp.asarray(imgs[sl]), jnp.asarray(vox_packed[sl]),
             jnp.asarray(cls_oh[sl]), jnp.asarray(inst_oh[sl]),
             jnp.asarray(vis_packed[sl]) if vis_packed is not None else None,
+            jnp.asarray(lat_masks[sl]) if lat_masks is not None else None,
         )
         out = {k: np.asarray(v, np.float64) for k, v in out.items()}
         preds_cat.append(out.pop("pred_cat_fusedV").astype(int))
@@ -372,6 +433,7 @@ def main(argv=None):
         "objects": n,
         "views": V,
         "occlude": args.occlude,
+        "latent_mask": args.latent_mask,
         "image_size": es,
         "dim": dim,
         "fusion_seconds": round(fuse_s, 1),
