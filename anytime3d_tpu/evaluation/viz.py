@@ -51,13 +51,17 @@ def draw_scene(image: np.ndarray, scene: dict) -> np.ndarray:
     """Overlay every valid detection from models.pipeline.scene_reconstruction."""
     img = np.ascontiguousarray((np.asarray(image) * 255).astype(np.uint8))
     valid = np.asarray(scene["valid"])
+    # 2D boxes for every raw detection; 3D overlays only where the metric
+    # lifting passed its border/depth gates (visualizer.py:249,295)
+    valid_det = np.asarray(scene.get("valid_det", scene["valid"]))
     boxes2d = np.asarray(scene["bbox2d"])
     corners = np.asarray(scene["bbox3d_corners_px"])
     rows, cols = img.shape[:2]
-    for k in range(len(valid)):
-        if not valid[k]:
+    for k in range(len(valid_det)):
+        if not valid_det[k]:
             continue
         px = boxes2d[k, :4] * np.array([cols, rows, cols, rows])
         img = draw_bbox2d(img, px)
-        img = draw_bbox3d(img, corners[k])
+        if valid[k]:
+            img = draw_bbox3d(img, corners[k])
     return img

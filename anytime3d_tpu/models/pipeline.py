@@ -64,5 +64,10 @@ def scene_reconstruction(
         "pose": lifted["pose"],
         "bbox3d_corners_px": lifted["bbox3d_corners_px"],
         "hypothesis_iou": lifted["hypothesis_iou"],
+        # lifted validity folds in the reference's border-margin + depth
+        # gates (visualizer.py:249,295) — dense synthetic frames legitimately
+        # detect objects NEAR borders, so expose raw detection validity too
+        # (draw_scene overlays 2D boxes for these, 3D only where lifted).
         "valid": lifted["valid"],
+        "valid_det": det["valid"],
     }

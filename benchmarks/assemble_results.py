@@ -266,15 +266,25 @@ def main(argv=None):
         V = fu["views"]
         lines.append("## Multi-view anytime fusion (streaming_fusion.json)")
         lines.append("")
+        lm = fu.get("latent_mask", 0.0)
+        mode = (
+            f"each view a PARTIAL observation revealing {lm:.0%} of its "
+            "posterior dims (the reference's own observation model, "
+            "nolbo.py:199-208, applied per real view); fused by the MASKED "
+            "information filter, unobserved dims at the reference fill"
+            if lm
+            else "per-view FULL posteriors fused precision-weighted in "
+            "information form (anytime/engine.py::fuse_observation)"
+        )
         lines.append(
             f"Held-out objects ({fu['objects']}, structural curriculum), "
-            f"N = 1..{V} distinct rendered views per object; per-view encoder "
-            "posteriors fused precision-weighted in information form "
-            "(anytime/engine.py::fuse_observation) and the fused mean decoded. "
-            "'avg' = uniform mean of view means (ablation, ignores the "
-            "encoder's per-dim variance). Reference comparison: the masked "
-            "single-shot protocol (nolbo.py:199-259) at matched information "
-            "missing_prob = 1-1/N on one view, gated correction."
+            f"N = 1..{V} distinct rendered views per object; {mode}; the "
+            "fused mean decoded. 'avg' = uniform mean ablation (ignores "
+            "the encoder's per-dim variance). Reference comparison: the "
+            "masked single-shot protocol (nolbo.py:199-259) at matched "
+            "information missing_prob = 1-1/N on ONE view, gated "
+            "correction. 'Best single view' is the ORACLE per-object max "
+            "over the N individual observations."
         )
         lines.append("")
         lines.append("| N | fused IoU | avg IoU | fused P | fused R | acc_cat | acc_inst | masked-protocol R (corrected) |")

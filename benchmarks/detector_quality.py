@@ -247,8 +247,10 @@ def main(argv=None):
 
         cv2.imwrite(args.artifact, img[..., ::-1])  # RGB -> BGR on disk
         artifact = args.artifact
+        n_det = int(np.asarray(scene["valid_det"]).sum())
         n_valid = int(np.asarray(scene["valid"]).sum())
-        print(f"scene artifact: {artifact} ({n_valid} detections drawn)")
+        print(f"scene artifact: {artifact} ({n_det} detections drawn, "
+              f"{n_valid} lifted to metric 3D)")
 
     result = {
         "steps": args.steps,
