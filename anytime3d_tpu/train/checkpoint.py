@@ -58,8 +58,20 @@ def save_state(path: str, state: TrainState, *, wait: bool = True) -> None:
 
     ``wait=False`` returns after the device->host snapshot; the serialize +
     atomic rename finish on a background thread (fence with
-    ``wait_for_saves``). Safe under multi-host: the call is collective."""
+    ``wait_for_saves``). Safe under multi-host: the call is collective.
+
+    Single-process runs snapshot to host numpy BEFORE handing the payload
+    to the async writer: Orbax's jax.Array commit path writes per-process
+    array metadata that the experimental axon (tunneled-TPU) backend does
+    not produce, failing the background save with "No ArrayMetadata found
+    for process_index=0" (seen on detector --save-path runs, r5). Host
+    arrays take the plain bytes path on every backend. Multi-process
+    (actually-sharded) states keep the jax.Array path — there the arrays
+    are only addressable per-shard and Orbax's collective machinery is
+    required."""
     payload = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    if jax.process_count() == 1:
+        payload = jax.device_get(payload)
     ckptr = _async_checkpointer()
     ckptr.save(os.path.abspath(path), payload, force=True)
     if wait:
